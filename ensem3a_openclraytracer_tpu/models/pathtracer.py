@@ -1,0 +1,261 @@
+"""Wavefront path tracer - the flagship estimator.
+
+TPU-native re-design of the reference's per-pixel OpenCL megakernel
+(Raytracing.cl:39-221): the whole image is one SoA ray batch; the bounce
+loop is a ``lax.scan`` with a live mask (SURVEY.md section 5: the bounce
+axis is the sequential "sequence" dimension, pixels/spp are the parallel
+axes); samples accumulate under an outer scan with rematerialization so
+reverse-mode AD stays O(image) in memory.
+
+Estimator semantics reproduced from the reference (capability checklist,
+SURVEY.md section 2.5):
+  * primary-hit caching: the camera ray and its hit are computed once and
+    reused for every sample (Raytracing.cl:184-197);
+  * unidirectional path tracing, no NEE/MIS/Russian roulette; paths still
+    on a non-emissive surface after ``max_bounce`` bounces contribute 0
+    (Raytracing.cl:99-103);
+  * lobe sampling/attenuation exactly as Raytracing.cl:58-87 (see
+    ops/bsdf.py);
+  * escaped rays: lat-long IBL * ibl_power, plus - for bounce rays only -
+    a sun term gated by a shadow ray: full sun if unoccluded and the
+    bounced-off surface is not glass, tinted sun if occluded only by glass
+    (Raytracing.cl:115-136);
+  * output: mean over spp; the display path clamps to [0, 1]
+    (Raytracing.cl:211-219).
+
+Differentiable w.r.t. material color/roughness/emissive power, sun/IBL
+power, and IBL texels; geometry/visibility is detached (stop_gradient
+around tracing) per the north star (BASELINE.json).
+
+Randoms are counter-based (threefry ``fold_in`` by sample then bounce), or
+caller-provided uniform tensors (``uniforms [spp, max_bounce+1, N, 2]``)
+so CPU/torch oracles can follow the identical stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
+from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
+from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
+from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
+from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
+from ensem3a_openclraytracer_tpu.scene.materials import (
+    CameraParams,
+    EnvParams,
+    MaterialParams,
+)
+from ensem3a_openclraytracer_tpu.scene.scene import GeometryPack
+
+
+def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
+    """Closest-hit dispatch: LBVH traversal when the pack carries a tree,
+    tiled brute force otherwise.  Visibility is non-differentiable by
+    design; inputs are detached so no AD path enters the while_loop."""
+    ray_o = jax.lax.stop_gradient(ray_o)
+    ray_d = jax.lax.stop_gradient(ray_d)
+    if geom.bvh is None:
+        return trace_bruteforce(geom.v0, geom.v1, geom.v2, ray_o, ray_d)
+    return trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
+
+
+class _Surface(NamedTuple):
+    """Per-lane shading state at the current path vertex."""
+
+    p: jnp.ndarray  # [N, 3] hit point
+    n: jnp.ndarray  # [N, 3] unit shading normal
+    mtype: jnp.ndarray  # [N] int32
+    color: jnp.ndarray  # [N, 3]
+    rough: jnp.ndarray  # [N] (emissive power for type 0)
+
+
+def _gather_surface(geom, materials, origin, direction, hit: Hit) -> _Surface:
+    idx = hit.tri
+    midx = geom.mat[idx]
+    return _Surface(
+        p=origin + direction * hit.t[:, None],
+        n=geom.n[idx],
+        mtype=materials.mtype[midx],
+        color=materials.color[midx],
+        rough=materials.roughness[midx],
+    )
+
+
+def render_radiance(
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    camera: CameraParams,
+    key: jax.Array,
+    *,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool = True,
+    ibl_bilinear: bool = True,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
+    over ``spp`` samples).  ``uniforms`` optionally supplies the random
+    stream as ``[spp, max_bounce + 1, N, 2]`` for oracle parity."""
+    n_rays = height * width
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, height, width
+    )
+
+    # Primary hit, cached across all samples (Raytracing.cl:184-187).
+    primary_hit = trace(geom, ray_o, ray_d)
+    primary_surf = _gather_surface(geom, materials, ray_o, ray_d, primary_hit)
+
+    sun_dir = jnp.broadcast_to(sun_direction(env.sun_angles_deg), (n_rays, 3))
+    env_radiance = lambda d: sample_ibl(env.ibl, d, bilinear=ibl_bilinear) * env.ibl_power
+
+    # Primary misses see the IBL only, once - independent of the sample loop
+    # (Raytracing.cl:148).
+    primary_miss_rad = jnp.where(
+        primary_hit.hit[:, None], 0.0, env_radiance(ray_d)
+    )
+
+    def bounce_step(carry, xs):
+        live, thr, rad, in_dir, surf = carry
+        j, u = xs
+        u1, u2 = u[:, 0], u[:, 1]
+
+        # terminal event: sitting on an emissive surface (power lives in
+        # the roughness slot, Raytracing.cl:107/:142)
+        emis = live & (surf.mtype == EMISSIVE)
+        rad = rad + jnp.where(emis[:, None], thr * surf.rough[:, None], 0.0)
+        live = live & ~emis
+
+        # sample the bounce and update throughput (Raytracing.cl:58-87)
+        bdir, factor = sample_bounce(
+            surf.mtype, surf.color, surf.rough, in_dir, surf.n, u1, u2
+        )
+        thr = jnp.where(live[:, None], thr * factor, thr)
+
+        bounce_hit = trace(geom, surf.p, bdir)
+        miss = live & ~bounce_hit.hit
+
+        # escaped: sun (shadow-ray gated) + IBL (Raytracing.cl:115-136)
+        env_light = env_radiance(bdir)
+        if sun_enabled:
+            sun_hit = trace(geom, surf.p, sun_dir)
+            sun_midx = geom.mat[sun_hit.tri]
+            sun_mtype = materials.mtype[sun_midx]
+            sun_color = materials.color[sun_midx]
+            unoccluded = (~sun_hit.hit) & (surf.mtype != GLASS)
+            glass_occluded = sun_hit.hit & (sun_mtype == GLASS)
+            sun_light = (
+                unoccluded[:, None].astype(jnp.float32) * env.sun_power
+                + glass_occluded[:, None].astype(jnp.float32) * sun_color * env.sun_power
+            )
+        else:
+            sun_light = jnp.zeros_like(env_light)
+        rad = rad + jnp.where(miss[:, None], thr * (sun_light + env_light), 0.0)
+        live = live & bounce_hit.hit
+
+        # advance the path for lanes that hit something solid
+        new_surf = _gather_surface(geom, materials, surf.p, bdir, bounce_hit)
+        lm = live[:, None]
+        surf = _Surface(
+            p=jnp.where(lm, new_surf.p, surf.p),
+            n=jnp.where(lm, new_surf.n, surf.n),
+            mtype=jnp.where(live, new_surf.mtype, surf.mtype),
+            color=jnp.where(lm, new_surf.color, surf.color),
+            rough=jnp.where(live, new_surf.rough, surf.rough),
+        )
+        in_dir = jnp.where(lm, bdir, in_dir)
+        return (live, thr, rad, in_dir, surf), None
+
+    def one_sample(sample_key, sample_uniforms):
+        """One spp sample for every pixel -> radiance [N, 3]."""
+        if sample_uniforms is None:
+            keys = jax.random.split(sample_key, max_bounce + 1)
+            us = jax.vmap(lambda k: jax.random.uniform(k, (n_rays, 2)))(keys)
+        else:
+            us = sample_uniforms
+        carry0 = (
+            primary_hit.hit,
+            jnp.ones((n_rays, 3), jnp.float32),
+            primary_miss_rad,
+            ray_d,
+            primary_surf,
+        )
+        xs = (jnp.arange(max_bounce + 1), us)
+        (live, thr, rad, _, surf), _ = jax.lax.scan(bounce_step, carry0, xs)
+        # final terminal check: a path whose last bounce landed on a light
+        # still contributes; anything else live contributes 0
+        # (the reference's max-bounce nullification, Raytracing.cl:99-109)
+        final_emis = live & (surf.mtype == EMISSIVE)
+        rad = rad + jnp.where(final_emis[:, None], thr * surf.rough[:, None], 0.0)
+        return rad
+
+    one_sample = jax.checkpoint(one_sample, static_argnums=())
+
+    if uniforms is not None:
+        def spp_step(acc, us):
+            return acc + one_sample(None, us), None
+        acc, _ = jax.lax.scan(spp_step, jnp.zeros((n_rays, 3), jnp.float32), uniforms)
+    else:
+        sample_keys = jax.random.split(key, spp)
+
+        def spp_step(acc, k):
+            return acc + one_sample(k, None), None
+
+        acc, _ = jax.lax.scan(spp_step, jnp.zeros((n_rays, 3), jnp.float32), sample_keys)
+
+    return (acc / spp).reshape(height, width, 3)
+
+
+def render_image(*args, **kwargs) -> jnp.ndarray:
+    """Radiance -> display image: clamp to [0, 1] (the reference's output
+    stage, Raytracing.cl:216-219; its gamma kernel is bypassed)."""
+    return jnp.clip(render_radiance(*args, **kwargs), 0.0, 1.0)
+
+
+render_radiance_jit = jax.jit(
+    render_radiance,
+    static_argnames=(
+        "height",
+        "width",
+        "spp",
+        "max_bounce",
+        "sun_enabled",
+        "ibl_bilinear",
+    ),
+)
+
+
+def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarray:
+    """Convenience: render a loaded :class:`Scene` at its ini settings.
+
+    ``overrides`` may remap resolution/spp/max_bounce.  Returns the
+    clamped display image [res, res, 3]."""
+    overrides = overrides or {}
+    rs = scene.config.render_settings()
+    res = int(overrides.get("resolution", rs.resolution))
+    spp = int(overrides.get("spp", rs.spp))
+    max_bounce = int(overrides.get("max_bounce", rs.max_bounce))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    env = scene.env_params()
+    sun_enabled = bool(float(env.sun_power) != 0.0)
+    radiance = render_radiance_jit(
+        scene.geometry,
+        scene.material_params(),
+        env,
+        scene.camera_params(),
+        key,
+        height=res,
+        width=res,
+        spp=spp,
+        max_bounce=max_bounce,
+        sun_enabled=sun_enabled,
+    )
+    return jnp.clip(radiance, 0.0, 1.0)

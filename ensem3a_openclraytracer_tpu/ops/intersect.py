@@ -1,0 +1,87 @@
+"""Closest-hit ray casting - brute-force tiled engine.
+
+TPU-first replacement for the reference's per-thread stack traversal
+(MathLib.cl:234-288) in the small-scene regime: instead of incoherent
+per-ray BVH walks, every ray tests every triangle in regular
+``[rays, tri_tile]`` blocks under a ``lax.scan`` - zero gathers, zero
+divergence, pure VPU throughput.  For the canonical Cornell box (36 tris)
+this is dramatically faster on TPU than any tree walk; larger scenes
+use :mod:`ensem3a_openclraytracer_tpu.ops.traversal`.
+
+The hit record is SoA: ``(t [N], tri_idx [N] int32, hit [N] bool)`` with
+the reference's conventions - closest hit with ``t`` in
+``(MIN_HIT_DIST, MAX_DIST)`` (MathLib.cl:263, :282-286).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ensem3a_openclraytracer_tpu.ops.geometry import (
+    MAX_DIST,
+    MIN_HIT_DIST,
+    moller_trumbore,
+)
+
+
+class Hit(NamedTuple):
+    """SoA closest-hit record for a batch of rays."""
+
+    t: jnp.ndarray  # [N] float32, MAX_DIST on miss
+    tri: jnp.ndarray  # [N] int32 triangle index (0 on miss)
+    hit: jnp.ndarray  # [N] bool
+
+
+def pad_triangles(v0, v1, v2, tile: int):
+    """Pad triangle arrays to a multiple of ``tile`` with degenerate
+    (all-zero) triangles, which Moller-Trumbore rejects as parallel."""
+    t = v0.shape[0]
+    pad = (-t) % tile
+    if pad:
+        z = jnp.zeros((pad, 3), v0.dtype)
+        v0 = jnp.concatenate([v0, z])
+        v1 = jnp.concatenate([v1, z])
+        v2 = jnp.concatenate([v2, z])
+    return v0, v1, v2
+
+
+def trace_bruteforce(v0, v1, v2, ray_o, ray_d, tile: int = 128) -> Hit:
+    """Closest hit of ``[N]`` rays against all triangles, tiled.
+
+    ``v0/v1/v2`` are ``[T, 3]`` triangle vertices (padding handled here);
+    ``tile`` bounds the ``[N, tile]`` intermediate so VMEM pressure stays
+    flat regardless of scene size.
+    """
+    n = ray_o.shape[0]
+    tile = min(tile, max(8, v0.shape[0]))
+    v0, v1, v2 = pad_triangles(v0, v1, v2, tile)
+    num_tiles = v0.shape[0] // tile
+    v0t = v0.reshape(num_tiles, tile, 3)
+    v1t = v1.reshape(num_tiles, tile, 3)
+    v2t = v2.reshape(num_tiles, tile, 3)
+    bases = (jnp.arange(num_tiles, dtype=jnp.int32) * tile)
+
+    ro = ray_o[:, None, :]
+    rd = ray_d[:, None, :]
+
+    def body(carry, tri_tile):
+        best_t, best_i = carry
+        tv0, tv1, tv2, base = tri_tile
+        t, _, _, hit = moller_trumbore(ro, rd, tv0[None], tv1[None], tv2[None])
+        t = jnp.where(hit & (t > MIN_HIT_DIST), t, MAX_DIST)
+        arg = jnp.argmin(t, axis=1).astype(jnp.int32)
+        tmin = jnp.min(t, axis=1)
+        better = tmin < best_t
+        best_t = jnp.where(better, tmin, best_t)
+        best_i = jnp.where(better, base + arg, best_i)
+        return (best_t, best_i), None
+
+    init = (
+        jnp.full((n,), MAX_DIST, jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+    )
+    (best_t, best_i), _ = jax.lax.scan(body, init, (v0t, v1t, v2t, bases))
+    return Hit(t=best_t, tri=best_i, hit=best_t < MAX_DIST)

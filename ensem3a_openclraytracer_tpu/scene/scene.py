@@ -1,0 +1,173 @@
+"""Scene assembly: OBJ + ini -> device-ready SoA geometry + parameters.
+
+Replaces the reference's ``Scene`` class (FileManager.py:209-331).  The key
+TPU-first change is *pre-gathering*: instead of shipping indexed
+``V_p/V_n/V_uv + faceData`` buffers and gathering per intersection
+(MathLib.cl:203-228 ``makeTri``), triangles are flattened once at load time
+into ``v0/v1/v2/n/uv/mat`` SoA arrays - intersection then touches only
+contiguous data.  The indexed ABI arrays are still produced and kept for
+parity tests and config write-back.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ensem3a_openclraytracer_tpu.accel.lbvh import build_lbvh
+from ensem3a_openclraytracer_tpu.ops.traversal import BVHNodes
+from ensem3a_openclraytracer_tpu.scene.config import ConfigReader
+from ensem3a_openclraytracer_tpu.scene.materials import (
+    CameraParams,
+    EnvParams,
+    MaterialParams,
+    default_sky,
+)
+from ensem3a_openclraytracer_tpu.scene.objloader import ObjMesh, load_obj
+
+# Scenes at or under this triangle count intersect faster brute-force on
+# TPU (regular VPU sweeps beat gather-heavy tree walks); above it the LBVH
+# wins.  Tuned on v5e - see bench history.
+FLAT_TRACE_MAX_TRIS = 256
+
+
+class GeometryPack(NamedTuple):
+    """Device-resident SoA triangle soup (+ optional BVH)."""
+
+    v0: jnp.ndarray  # [T, 3] float32
+    v1: jnp.ndarray  # [T, 3]
+    v2: jnp.ndarray  # [T, 3]
+    n: jnp.ndarray  # [T, 3] per-face shading normal (vertex a's normal -
+    #               the reference does no interpolation, MathLib.cl:151)
+    uv: jnp.ndarray  # [T, 2] (vertex a's uv, MathLib.cl:152)
+    mat: jnp.ndarray  # [T] int32 material index
+    bvh: Optional[BVHNodes]  # None => brute-force tracing
+
+
+def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack:
+    """Pre-gather indexed mesh data into SoA triangles on device."""
+    fd = mesh.face_data
+    v0 = mesh.v_p[fd[:, 7]]
+    v1 = mesh.v_p[fd[:, 8]]
+    v2 = mesh.v_p[fd[:, 9]]
+    n = mesh.v_n[np.clip(fd[:, 4], 0, len(mesh.v_n) - 1)]
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    uv = mesh.v_uv[np.clip(fd[:, 1], 0, len(mesh.v_uv) - 1)]
+    mat = fd[:, 0].astype(np.int32)
+
+    if use_bvh is None:
+        use_bvh = fd.shape[0] > FLAT_TRACE_MAX_TRIS
+    bvh = None
+    if use_bvh:
+        nodes = build_lbvh(v0, v1, v2)
+        bvh = BVHNodes(*(jnp.asarray(a) for a in nodes))
+
+    return GeometryPack(
+        v0=jnp.asarray(v0),
+        v1=jnp.asarray(v1),
+        v2=jnp.asarray(v2),
+        n=jnp.asarray(n),
+        uv=jnp.asarray(uv),
+        mat=jnp.asarray(mat),
+        bvh=bvh,
+    )
+
+
+def load_ibl_image(path: str, fallback_dirs: tuple = ()) -> np.ndarray:
+    """Load a lat-long environment image as float32 [H, W, 3] in [0, 1].
+
+    Falls back to the procedural sky when the file is missing (the
+    reference's 8k IBL asset is stripped from its checkout)."""
+    candidates = [path] + [os.path.join(d, os.path.basename(path)) for d in fallback_dirs]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            from PIL import Image
+
+            img = Image.open(cand).convert("RGB")
+            return np.asarray(img, np.float32) / 255.0
+    return default_sky()
+
+
+@dataclass
+class Scene:
+    """Host-side scene: import ABI arrays + config + device geometry.
+
+    Mirrors the reference Scene's capabilities (FileManager.py:209-250):
+    geometry import, per-scene ini config (auto-created with defaults),
+    material table, emissive-face light list, and acceleration-structure
+    build that can be skipped/reused across re-renders
+    (``rebuild_accel=False`` + ``geometry`` carry-over, the UI.py:98 path).
+    """
+
+    obj_path: str
+    mesh: ObjMesh
+    config: ConfigReader
+    material_table: np.ndarray  # [M, 6] reference ABI
+    light_faces: np.ndarray  # int32 indices of emissive faces
+    geometry: GeometryPack
+
+    @staticmethod
+    def load(
+        obj_path: str,
+        rebuild_accel: bool = True,
+        geometry: Optional[GeometryPack] = None,
+        use_bvh: Optional[bool] = None,
+    ) -> "Scene":
+        mesh = load_obj(obj_path)
+        config = ConfigReader(
+            obj_path[: -len(".obj")] + ".ini" if obj_path.endswith(".obj") else obj_path + ".ini",
+            material_count=mesh.num_materials - 1,
+        )
+        table = config.material_table(mesh.num_materials)
+        mat_ids = mesh.face_data[:, 0]
+        emissive = table[np.clip(mat_ids, 0, table.shape[0] - 1), 0] == 0
+        light_faces = np.nonzero(emissive)[0].astype(np.int32)
+
+        if rebuild_accel or geometry is None:
+            geom = pack_geometry(mesh, use_bvh=use_bvh)
+        else:
+            geom = geometry
+        return Scene(
+            obj_path=obj_path,
+            mesh=mesh,
+            config=config,
+            material_table=table,
+            light_faces=light_faces,
+            geometry=geom,
+        )
+
+    # -- parameter pytrees ---------------------------------------------------
+
+    def material_params(self) -> MaterialParams:
+        return MaterialParams.from_table(self.material_table)
+
+    def env_params(self, ibl: Optional[np.ndarray] = None) -> EnvParams:
+        env = self.config.environment_settings()
+        if ibl is None:
+            ibl = load_ibl_image(
+                env.ibl_file,
+                fallback_dirs=(os.path.dirname(self.obj_path), "IBL", "/root/reference/IBL"),
+            )
+        return EnvParams.create(
+            sun_angles_deg=env.sun_angles_deg,
+            sun_power=env.sun_power,
+            ibl_power=env.ibl_power,
+            ibl=ibl,
+        )
+
+    def camera_params(self) -> CameraParams:
+        cam = self.config.camera_settings()
+        return CameraParams.create(cam.position, cam.rotation_deg, cam.fov_deg)
+
+    def reload_materials(self) -> None:
+        """Re-read the material table from the config file (material-edit
+        round trip without geometry/BVH rebuild)."""
+        self.material_table = self.config.material_table(self.mesh.num_materials)
+
+    @property
+    def num_tris(self) -> int:
+        return self.mesh.num_faces
