@@ -39,6 +39,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
 from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
@@ -86,28 +87,27 @@ def _gather_surface(geom, materials, origin, direction, hit: Hit) -> _Surface:
     )
 
 
-def render_radiance(
+def radiance_for_rays(
     geom: GeometryPack,
     materials: MaterialParams,
     env: EnvParams,
-    camera: CameraParams,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
     key: jax.Array,
     *,
-    height: int,
-    width: int,
     spp: int,
     max_bounce: int,
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
-    over ``spp`` samples).  ``uniforms`` optionally supplies the random
-    stream as ``[spp, max_bounce + 1, N, 2]`` for oracle parity."""
-    n_rays = height * width
-    ray_o, ray_d = camera_rays(
-        camera.position, camera.rotation_deg, camera.fov_deg, height, width
-    )
+    """Estimate radiance ``[N, 3]`` for an arbitrary primary-ray batch
+    (unclamped mean over ``spp`` samples).  This is the shardable core:
+    the parallel layer slices the pixel set into per-chip ray batches and
+    calls this under ``shard_map`` (scene replicated, rays data-parallel).
+    ``uniforms`` optionally supplies the random stream as
+    ``[spp, max_bounce + 1, N, 2]`` for oracle parity."""
+    n_rays = ray_o.shape[0]
 
     # Primary hit, cached across all samples (Raytracing.cl:184-187).
     primary_hit = trace(geom, ray_o, ray_d)
@@ -182,12 +182,12 @@ def render_radiance(
             us = sample_uniforms
         carry0 = (
             primary_hit.hit,
-            jnp.ones((n_rays, 3), jnp.float32),
+            jnp.ones_like(ray_d),  # *_like keeps shard_map vma typing
             primary_miss_rad,
             ray_d,
             primary_surf,
         )
-        xs = (jnp.arange(max_bounce + 1), us)
+        xs = (np.arange(max_bounce + 1), us)
         (live, thr, rad, _, surf), _ = jax.lax.scan(bounce_step, carry0, xs)
         # final terminal check: a path whose last bounce landed on a light
         # still contributes; anything else live contributes 0
@@ -201,16 +201,52 @@ def render_radiance(
     if uniforms is not None:
         def spp_step(acc, us):
             return acc + one_sample(None, us), None
-        acc, _ = jax.lax.scan(spp_step, jnp.zeros((n_rays, 3), jnp.float32), uniforms)
+        acc, _ = jax.lax.scan(spp_step, jnp.zeros_like(ray_d), uniforms)
     else:
         sample_keys = jax.random.split(key, spp)
 
         def spp_step(acc, k):
             return acc + one_sample(k, None), None
 
-        acc, _ = jax.lax.scan(spp_step, jnp.zeros((n_rays, 3), jnp.float32), sample_keys)
+        acc, _ = jax.lax.scan(spp_step, jnp.zeros_like(ray_d), sample_keys)
 
-    return (acc / spp).reshape(height, width, 3)
+    return acc / spp
+
+
+def render_radiance(
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    camera: CameraParams,
+    key: jax.Array,
+    *,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool = True,
+    ibl_bilinear: bool = True,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
+    over ``spp`` samples) for a pinhole camera view."""
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, height, width
+    )
+    rad = radiance_for_rays(
+        geom,
+        materials,
+        env,
+        ray_o,
+        ray_d,
+        key,
+        spp=spp,
+        max_bounce=max_bounce,
+        sun_enabled=sun_enabled,
+        ibl_bilinear=ibl_bilinear,
+        uniforms=uniforms,
+    )
+    return rad.reshape(height, width, 3)
 
 
 def render_image(*args, **kwargs) -> jnp.ndarray:

@@ -15,6 +15,7 @@ pi instead of 3.14f.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ensem3a_openclraytracer_tpu.ops.geometry import (
     euler_xyz_matrix,
@@ -39,15 +40,18 @@ def camera_rays(position, rot_deg, fov_deg, height: int, width: int):
     fov_rad = jnp.asarray(fov_deg, jnp.float32) * (jnp.pi / 180.0)
     f = focal_distance(fov_rad)
 
-    rows = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    cols = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    # static pixel-grid constants stay in numpy: eager jnp here would
+    # round-trip through the device at trace time (slow over tunneled
+    # backends) and bloat lowering with device-resident constants
+    rows = (np.arange(height, dtype=np.float32) + 0.5) / height
+    cols = (np.arange(width, dtype=np.float32) + 0.5) / width
     # plane extends [-0.5, 0.5] in x (columns) and z (rows, top row = +z);
     # pixel aspect is square: plane height scales with H/W.
     px = cols - 0.5
     pz = (0.5 - rows) * (height / width)
-    gx, gz = jnp.meshgrid(px, pz, indexing="xy")  # [H, W] each
+    gx, gz = np.meshgrid(px, pz, indexing="xy")  # [H, W] each
     local = jnp.stack(
-        [gx, jnp.full_like(gx, f), gz], axis=-1
+        [jnp.asarray(gx), jnp.full_like(jnp.asarray(gx), f), jnp.asarray(gz)], axis=-1
     )  # direction from focal point through plane point, camera space (+y fwd)
     m = euler_xyz_matrix(jnp.asarray(rot_deg, jnp.float32))
     d = jnp.einsum("ij,hwj->hwi", m, local)

@@ -14,6 +14,7 @@ so pixel gradients flow into environment maps for inverse rendering.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ensem3a_openclraytracer_tpu.ops.geometry import (
     normalize,
@@ -82,5 +83,5 @@ def sun_direction(sun_angles_deg: jnp.ndarray) -> jnp.ndarray:
     radiance are invariant to that scale, so we normalize for numerical
     hygiene.
     """
-    v = jnp.ones((3,), jnp.float32)
+    v = np.ones((3,), np.float32)  # host constant
     return normalize(rotate_euler_xyz_deg(v, sun_angles_deg))

@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ensem3a_openclraytracer_tpu.ops.geometry import (
     MAX_DIST,
@@ -41,7 +42,7 @@ def pad_triangles(v0, v1, v2, tile: int):
     t = v0.shape[0]
     pad = (-t) % tile
     if pad:
-        z = jnp.zeros((pad, 3), v0.dtype)
+        z = jnp.asarray(np.zeros((pad, 3), np.float32), v0.dtype)
         v0 = jnp.concatenate([v0, z])
         v1 = jnp.concatenate([v1, z])
         v2 = jnp.concatenate([v2, z])
@@ -62,7 +63,7 @@ def trace_bruteforce(v0, v1, v2, ray_o, ray_d, tile: int = 128) -> Hit:
     v0t = v0.reshape(num_tiles, tile, 3)
     v1t = v1.reshape(num_tiles, tile, 3)
     v2t = v2.reshape(num_tiles, tile, 3)
-    bases = (jnp.arange(num_tiles, dtype=jnp.int32) * tile)
+    bases = np.arange(num_tiles, dtype=np.int32) * tile
 
     ro = ray_o[:, None, :]
     rd = ray_d[:, None, :]
@@ -79,9 +80,9 @@ def trace_bruteforce(v0, v1, v2, ray_o, ray_d, tile: int = 128) -> Hit:
         best_i = jnp.where(better, base + arg, best_i)
         return (best_t, best_i), None
 
-    init = (
-        jnp.full((n,), MAX_DIST, jnp.float32),
-        jnp.zeros((n,), jnp.int32),
-    )
+    # carries derived from the rays so their varying-axes type matches
+    # the scan body under shard_map (jax >= 0.9 vma typing)
+    zero_f = (ray_o[:, 0] + ray_d[:, 0]) * 0.0
+    init = (zero_f + MAX_DIST, zero_f.astype(jnp.int32))
     (best_t, best_i), _ = jax.lax.scan(body, init, (v0t, v1t, v2t, bases))
     return Hit(t=best_t, tri=best_i, hit=best_t < MAX_DIST)

@@ -13,10 +13,11 @@ space around the (unit) surface normal ``n``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ensem3a_openclraytracer_tpu.ops.geometry import dot, normalize
 
-PI = jnp.float32(jnp.pi)
+PI = np.float32(np.pi)  # host constant (device scalars cost a D2H fetch per lowering)
 
 
 def orthonormal_basis(n: jnp.ndarray):
@@ -71,7 +72,7 @@ def sample_hemisphere_uniform(n, u1, u2):
         [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1
     )
     d = local_to_world(local, n)
-    inv_pdf = jnp.full(d.shape[:-1], 2.0 * PI, d.dtype)
+    inv_pdf = jnp.full_like(d[..., 0], 2.0 * PI)
     return d, inv_pdf
 
 
@@ -102,5 +103,5 @@ def sample_glass(incoming_dir):
     """Glass 'sampling': the ray continues straight through
     (MathLib.cl:391-395); the estimator then forces attenuation to 1
     via inv_pdf = 1/|cos| (Raytracing.cl:74-77)."""
-    ones = jnp.ones(incoming_dir.shape[:-1], incoming_dir.dtype)
+    ones = jnp.ones_like(incoming_dir[..., 0])
     return incoming_dir, ones

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ensem3a_openclraytracer_tpu.ops.geometry import (
     MAX_DIST,
@@ -52,12 +53,16 @@ class BVHNodes(NamedTuple):
 def trace_bvh(nodes: BVHNodes, v0, v1, v2, ray_o, ray_d, max_stack: int = MAX_STACK) -> Hit:
     """Closest hit of ``[N]`` rays against triangles through the BVH."""
     n = ray_o.shape[0]
-    lanes = jnp.arange(n)
+    lanes = np.arange(n)  # host constant: no device round-trip at trace time
 
-    stack0 = jnp.zeros((n, max_stack), jnp.int32)  # root (node 0) in slot 0
-    sp0 = jnp.ones((n,), jnp.int32)
-    best_t0 = jnp.full((n,), MAX_DIST, jnp.float32)
-    best_i0 = jnp.zeros((n,), jnp.int32)
+    # carries derived from both ray arrays so their varying-axes type
+    # matches the loop body under shard_map (jax >= 0.9 vma typing)
+    zero_f = (ray_o[:, 0] + ray_d[:, 0]) * 0.0
+    zeros_i = zero_f.astype(jnp.int32)
+    stack0 = jnp.repeat(zeros_i[:, None], max_stack, axis=1)  # root (node 0) in slot 0
+    sp0 = zeros_i + 1
+    best_t0 = zero_f + MAX_DIST
+    best_i0 = zeros_i
 
     def cond(state):
         _, sp, _, _ = state
