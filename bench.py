@@ -42,7 +42,7 @@ def main():
     from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
     from ensem3a_openclraytracer_tpu.testing import make_cornell_scene
 
-    geom, materials, env, camera = make_cornell_scene(use_bvh=True)
+    geom, materials, env, camera = make_cornell_scene(use_bvh=False)  # MXU engine
     key = jax.random.PRNGKey(0)
 
     import functools

@@ -44,7 +44,9 @@ import numpy as np
 from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
 from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
+from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
+from ensem3a_openclraytracer_tpu.ops.intersect_mxu import trace_mxu, trace_mxu_pallas
 from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
 from ensem3a_openclraytracer_tpu.scene.materials import (
     CameraParams,
@@ -54,15 +56,31 @@ from ensem3a_openclraytracer_tpu.scene.materials import (
 from ensem3a_openclraytracer_tpu.scene.scene import GeometryPack
 
 
+import functools as _functools
+
+
+@_functools.cache
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU-family device (the fused
+    Pallas engine needs Mosaic; CPU runs use the XLA scan engine)."""
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
-    """Closest-hit dispatch: LBVH traversal when the pack carries a tree,
-    tiled brute force otherwise.  Visibility is non-differentiable by
-    design; inputs are detached so no AD path enters the while_loop."""
+    """Closest-hit dispatch: the MXU matmul engine when the pack carries
+    triangle features (fastest for <= ~64k tris), LBVH traversal when it
+    carries a tree, tiled Moller-Trumbore otherwise.  Visibility is
+    non-differentiable by design; inputs are detached so no AD path
+    enters the trace."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
-    if geom.bvh is None:
-        return trace_bruteforce(geom.v0, geom.v1, geom.v2, ray_o, ray_d)
-    return trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
+    if geom.feats is not None:
+        if _on_tpu():
+            return trace_mxu_pallas(geom.feats, ray_o, ray_d)
+        return trace_mxu(geom.feats, ray_o, ray_d)
+    if geom.bvh is not None:
+        return trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
+    return trace_bruteforce(geom.v0, geom.v1, geom.v2, ray_o, ray_d)
 
 
 class _Surface(NamedTuple):
@@ -77,13 +95,29 @@ class _Surface(NamedTuple):
 
 def _gather_surface(geom, materials, origin, direction, hit: Hit) -> _Surface:
     idx = hit.tri
-    midx = geom.mat[idx]
+    # fuse the per-face (normal, material id) lookup into one row gather
+    face_rows = jnp.concatenate(
+        [geom.n, geom.mat.astype(jnp.float32)[:, None]], axis=1
+    )
+    rows = gather_rows(face_rows, idx)
+    n = rows[:, :3]
+    midx = jnp.round(rows[:, 3]).astype(jnp.int32)
+    # material table lookup likewise (mtype/color/rough in one record)
+    mat_rows = jnp.concatenate(
+        [
+            materials.mtype.astype(jnp.float32)[:, None],
+            materials.color,
+            materials.roughness[:, None],
+        ],
+        axis=1,
+    )
+    mrows = gather_rows(mat_rows, midx)
     return _Surface(
         p=origin + direction * hit.t[:, None],
-        n=geom.n[idx],
-        mtype=materials.mtype[midx],
-        color=materials.color[midx],
-        rough=materials.roughness[midx],
+        n=n,
+        mtype=jnp.round(mrows[:, 0]).astype(jnp.int32),
+        color=mrows[:, 1:4],
+        rough=mrows[:, 4],
     )
 
 
@@ -146,9 +180,16 @@ def radiance_for_rays(
         env_light = env_radiance(bdir)
         if sun_enabled:
             sun_hit = trace(geom, surf.p, sun_dir)
-            sun_midx = geom.mat[sun_hit.tri]
-            sun_mtype = materials.mtype[sun_midx]
-            sun_color = materials.color[sun_midx]
+            sun_midx = gather_rows(geom.mat[:, None], sun_hit.tri)[:, 0]
+            srows = gather_rows(
+                jnp.concatenate(
+                    [materials.mtype.astype(jnp.float32)[:, None], materials.color],
+                    axis=1,
+                ),
+                sun_midx,
+            )
+            sun_mtype = jnp.round(srows[:, 0]).astype(jnp.int32)
+            sun_color = srows[:, 1:4]
             unoccluded = (~sun_hit.hit) & (surf.mtype != GLASS)
             glass_occluded = sun_hit.hit & (sun_mtype == GLASS)
             sun_light = (

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ensem3a_openclraytracer_tpu.accel.lbvh import build_lbvh
+from ensem3a_openclraytracer_tpu.ops.intersect_mxu import TriFeatures, build_tri_features
 from ensem3a_openclraytracer_tpu.ops.traversal import BVHNodes
 from ensem3a_openclraytracer_tpu.scene.config import ConfigReader
 from ensem3a_openclraytracer_tpu.scene.materials import (
@@ -29,10 +30,11 @@ from ensem3a_openclraytracer_tpu.scene.materials import (
 )
 from ensem3a_openclraytracer_tpu.scene.objloader import ObjMesh, load_obj
 
-# Scenes at or under this triangle count intersect faster brute-force on
-# TPU (regular VPU sweeps beat gather-heavy tree walks); above it the LBVH
-# wins.  Tuned on v5e - see bench history.
-FLAT_TRACE_MAX_TRIS = 256
+# Scenes at or under this triangle count intersect fastest through the
+# MXU matmul engine (ops/intersect_mxu.py): dense systolic-array sweeps
+# beat gather-heavy tree walks by orders of magnitude on TPU.  Above it
+# the LBVH wins on asymptotics.  Tuned on v5e - see bench history.
+MXU_TRACE_MAX_TRIS = 65536
 
 
 class GeometryPack(NamedTuple):
@@ -45,7 +47,8 @@ class GeometryPack(NamedTuple):
     #               the reference does no interpolation, MathLib.cl:151)
     uv: jnp.ndarray  # [T, 2] (vertex a's uv, MathLib.cl:152)
     mat: jnp.ndarray  # [T] int32 material index
-    bvh: Optional[BVHNodes]  # None => brute-force tracing
+    bvh: Optional[BVHNodes]  # None => no tree
+    feats: Optional[TriFeatures]  # None => no MXU engine; preferred when set
 
 
 def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack:
@@ -60,11 +63,14 @@ def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack
     mat = fd[:, 0].astype(np.int32)
 
     if use_bvh is None:
-        use_bvh = fd.shape[0] > FLAT_TRACE_MAX_TRIS
+        use_bvh = fd.shape[0] > MXU_TRACE_MAX_TRIS
     bvh = None
+    feats = None
     if use_bvh:
         nodes = build_lbvh(v0, v1, v2)
         bvh = BVHNodes(*(jnp.asarray(a) for a in nodes))
+    else:
+        feats = build_tri_features(v0, v1, v2)
 
     return GeometryPack(
         v0=jnp.asarray(v0),
@@ -74,6 +80,7 @@ def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack
         uv=jnp.asarray(uv),
         mat=jnp.asarray(mat),
         bvh=bvh,
+        feats=feats,
     )
 
 

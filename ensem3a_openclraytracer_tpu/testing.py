@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ensem3a_openclraytracer_tpu.accel.lbvh import build_lbvh
+from ensem3a_openclraytracer_tpu.ops.intersect_mxu import build_tri_features
 from ensem3a_openclraytracer_tpu.ops.traversal import BVHNodes
 from ensem3a_openclraytracer_tpu.scene.materials import (
     CameraParams,
@@ -59,9 +60,12 @@ def _pack(tris, use_bvh: bool) -> GeometryPack:
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     uv = np.zeros((len(tris), 2), np.float32)
     bvh: Optional[BVHNodes] = None
+    feats = None
     if use_bvh:
         nodes = build_lbvh(v0, v1, v2)
         bvh = BVHNodes(*(jnp.asarray(a) for a in nodes))
+    else:
+        feats = build_tri_features(v0, v1, v2)
     return GeometryPack(
         v0=jnp.asarray(v0),
         v1=jnp.asarray(v1),
@@ -70,6 +74,7 @@ def _pack(tris, use_bvh: bool) -> GeometryPack:
         uv=jnp.asarray(uv),
         mat=jnp.asarray(mat),
         bvh=bvh,
+        feats=feats,
     )
 
 
