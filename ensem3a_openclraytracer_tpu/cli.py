@@ -1,0 +1,250 @@
+"""Command-line product surface - replaces the reference's Tkinter UI.
+
+Every capability of the reference UI (UI.py:92-160; SURVEY.md section
+2.5 item 11) has a subcommand equivalent:
+
+  render    path-trace a scene to PNG (progressive, resumable)
+  optimize  inverse rendering: fit material/env parameters to a target
+  bench     throughput benchmark, one-line JSON
+  info      scene statistics (triangles, materials, lights, config)
+  set/get   edit per-scene ini parameters (material/camera/env round trip)
+
+Usage:  python -m ensem3a_openclraytracer_tpu render ObjFiles/scene.obj
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_scene(path: str, use_bvh=None):
+    from ensem3a_openclraytracer_tpu.scene.scene import Scene
+
+    return Scene.load(path, use_bvh=use_bvh)
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from ensem3a_openclraytracer_tpu.models.progressive import (
+        ProgressiveRenderer,
+        ProgressiveState,
+    )
+    from ensem3a_openclraytracer_tpu.utils.image import save_png
+    from ensem3a_openclraytracer_tpu.utils.profiling import RenderMetrics
+
+    sc = _load_scene(args.scene)
+    rs = sc.config.render_settings()
+    res = args.resolution or rs.resolution
+    spp = args.spp or rs.spp
+    max_bounce = args.max_bounce or rs.max_bounce
+    env = sc.env_params()
+    sun_enabled = float(env.sun_power) != 0.0
+
+    chunk = min(args.chunk_spp, spp)
+    kw = dict(
+        height=res,
+        width=res,
+        max_bounce=max_bounce,
+        chunk_spp=chunk,
+        sun_enabled=sun_enabled,
+    )
+    ckpt = args.checkpoint
+    if ckpt and os.path.exists(ckpt) and not args.restart:
+        r = ProgressiveRenderer.resume(
+            ckpt, sc.geometry, sc.material_params(), env, sc.camera_params(), **kw
+        )
+        print(f"resumed at {r.state.spp_done} spp from {ckpt}")
+    else:
+        r = ProgressiveRenderer(
+            sc.geometry, sc.material_params(), env, sc.camera_params(),
+            base_seed=args.seed, **kw,
+        )
+
+    t0 = time.time()
+    img = r.render(
+        spp,
+        checkpoint_path=ckpt,
+        progress=lambda done, total: print(f"  {done}/{total} spp", flush=True)
+        if args.verbose
+        else None,
+    )
+    wall = time.time() - t0
+    out = args.out or os.path.join("output", "out.png")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_png(np.clip(img, 0.0, 1.0), out)
+    m = RenderMetrics(wall, res, r.state.spp_done, max_bounce, sun_enabled)
+    print(f"rendered {res}x{res} @ {r.state.spp_done} spp in {wall:.2f}s "
+          f"({m.mrays_per_s:.1f} Mrays/s) -> {out}")
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ensem3a_openclraytracer_tpu.models.optimize import make_train_step
+    from ensem3a_openclraytracer_tpu.utils.image import load_png, save_png
+
+    sc = _load_scene(args.scene)
+    rs = sc.config.render_settings()
+    res = args.resolution or min(rs.resolution, 128)
+    env = sc.env_params()
+    target = jnp.asarray(load_png(args.target))
+    if target.shape[0] != res or target.shape[1] != res:
+        raise SystemExit(
+            f"target is {target.shape[0]}x{target.shape[1]}, render is {res}x{res}; "
+            "pass --resolution to match"
+        )
+    init, step = make_train_step(
+        sc.geometry, sc.material_params(), env, sc.camera_params(),
+        optax.adam(args.lr),
+        height=res, width=res, spp=args.spp, max_bounce=args.max_bounce,
+        sun_enabled=float(env.sun_power) != 0.0,
+    )
+    params, opt_state = init()
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(args.iters):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, target, sub)
+        if i % max(1, args.iters // 20) == 0 or i == args.iters - 1:
+            print(f"iter {i:4d}  loss {float(loss):.6f}", flush=True)
+
+    # write the fitted materials back to the scene config (UI round trip)
+    if not args.dry_run:
+        m, e = params.apply(sc.material_params(), env)
+        table = m.to_table()
+        for idx in range(table.shape[0]):
+            sc.config.set_material(
+                idx, color=table[idx, 1:4], roughness=table[idx, 4]
+            )
+        sc.config.set_many({
+            "sun_Power": float(e.sun_power), "IBL_Power": float(e.ibl_power)
+        })
+        print(f"wrote fitted parameters back to {sc.config.config_path}")
+    if args.out:
+        from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+
+        m, e = params.apply(sc.material_params(), env)
+        img = render_radiance(
+            sc.geometry, m, e, sc.camera_params(), jax.random.PRNGKey(0),
+            height=res, width=res, spp=args.spp * 4, max_bounce=args.max_bounce,
+            sun_enabled=float(env.sun_power) != 0.0,
+        )
+        save_png(np.clip(np.asarray(img), 0, 1), args.out)
+        print(f"fitted render -> {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py is the single source of truth
+
+    bench_mod.main()
+    return 0
+
+
+def cmd_info(args) -> int:
+    sc = _load_scene(args.scene)
+    rs = sc.config.render_settings()
+    cam = sc.config.camera_settings()
+    env = sc.config.environment_settings()
+    info = {
+        "scene": args.scene,
+        "triangles": sc.num_tris,
+        "materials": int(sc.material_table.shape[0]),
+        "emissive_faces": int(len(sc.light_faces)),
+        "accel": "lbvh" if sc.geometry.bvh is not None else "mxu-dense",
+        "resolution": rs.resolution,
+        "spp": rs.spp,
+        "max_bounce": rs.max_bounce,
+        "camera": {"position": cam.position, "rotation_deg": cam.rotation_deg,
+                   "fov_deg": cam.fov_deg},
+        "environment": {"sun_power": env.sun_power, "ibl_power": env.ibl_power,
+                        "sun_angles_deg": env.sun_angles_deg, "ibl_file": env.ibl_file},
+        "material_table": sc.material_table.tolist(),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_set(args) -> int:
+    sc = _load_scene(args.scene)
+    sc.config.setParameter(args.key, args.value)
+    print(f"{args.key}={args.value} -> {sc.config.config_path}")
+    return 0
+
+
+def cmd_get(args) -> int:
+    sc = _load_scene(args.scene)
+    print(sc.config.getParameter(args.key))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ensem3a_openclraytracer_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("render", help="path-trace a scene to PNG")
+    r.add_argument("scene")
+    r.add_argument("--resolution", type=int)
+    r.add_argument("--spp", type=int)
+    r.add_argument("--max-bounce", type=int, dest="max_bounce")
+    r.add_argument("--out", help="output PNG path (default output/out.png)")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--chunk-spp", type=int, default=16, dest="chunk_spp")
+    r.add_argument("--checkpoint", help="progressive .npz checkpoint path (resume if exists)")
+    r.add_argument("--restart", action="store_true", help="ignore an existing checkpoint")
+    r.add_argument("--verbose", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    o = sub.add_parser("optimize", help="fit material/env params to a target image")
+    o.add_argument("scene")
+    o.add_argument("--target", required=True, help="target PNG")
+    o.add_argument("--iters", type=int, default=100)
+    o.add_argument("--lr", type=float, default=1e-2)
+    o.add_argument("--spp", type=int, default=4)
+    o.add_argument("--max-bounce", type=int, default=3, dest="max_bounce")
+    o.add_argument("--resolution", type=int)
+    o.add_argument("--seed", type=int, default=0)
+    o.add_argument("--out", help="render the fitted scene to this PNG")
+    o.add_argument("--dry-run", action="store_true", help="do not write the ini back")
+    o.set_defaults(fn=cmd_optimize)
+
+    b = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("info", help="scene statistics as JSON")
+    i.add_argument("scene")
+    i.set_defaults(fn=cmd_info)
+
+    s = sub.add_parser("set", help="set a per-scene ini parameter")
+    s.add_argument("scene")
+    s.add_argument("key")
+    s.add_argument("value")
+    s.set_defaults(fn=cmd_set)
+
+    g = sub.add_parser("get", help="read a per-scene ini parameter")
+    g.add_argument("scene")
+    g.add_argument("key")
+    g.set_defaults(fn=cmd_get)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
