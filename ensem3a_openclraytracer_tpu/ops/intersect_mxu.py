@@ -50,12 +50,15 @@ class TriFeatures(NamedTuple):
     edges: jnp.ndarray  # [3, 6, Tp] float32
     plane: jnp.ndarray  # [4, Tp] float32
     normal_d: jnp.ndarray  # [3, Tp] float32 (n, for the denominator matmul)
+    block_bounds: jnp.ndarray  # [B, 8] AABB per TRI_TILE block (+2 pad cols)
     num_tris: int
 
 
 def build_tri_features(v0, v1, v2, pad_to: int = 128) -> TriFeatures:
     """Precompute Plucker edge features + plane rows; pad T to a lane
-    multiple with never-hit triangles."""
+    multiple with never-hit triangles.  Also computes per-TRI_TILE-block
+    AABBs so the Pallas kernel can skip whole blocks a ray tile cannot
+    hit (the dense two-level culling that replaces tree traversal)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -76,11 +79,26 @@ def build_tri_features(v0, v1, v2, pad_to: int = 128) -> TriFeatures:
     plane[3, :t] = na
     normal_d = np.zeros((3, tp), np.float32)
     normal_d[:, :t] = n.T
+
+    # per-block AABBs at TRI_TILE granularity (blocks made only of
+    # padding get an inverted box -> never hit -> always skipped)
+    nb = -(-tp // TRI_TILE)
+    bounds = np.zeros((nb, 8), np.float32)
+    bounds[:, :3] = np.inf
+    bounds[:, 3:6] = -np.inf
+    allv = np.stack([v0, v1, v2])  # [3, T, 3]
+    for b in range(nb):
+        lo_t, hi_t = b * TRI_TILE, min((b + 1) * TRI_TILE, t)
+        if lo_t < hi_t:
+            blk = allv[:, lo_t:hi_t].reshape(-1, 3)
+            bounds[b, :3] = blk.min(axis=0)
+            bounds[b, 3:6] = blk.max(axis=0)
     # padding: n == 0 -> den == 0 -> rejected as parallel
     return TriFeatures(
         edges=jnp.asarray(edges),
         plane=jnp.asarray(plane),
         normal_d=jnp.asarray(normal_d),
+        block_bounds=jnp.asarray(bounds),
         num_tris=t,
     )
 
@@ -164,13 +182,20 @@ RAY_TILE = 1024
 TRI_TILE = 256
 
 
-def _mxu_kernel(edges_ref, plane_ref, nd_ref, r6_ref, q4_ref, d_ref,
+def _mxu_kernel(edges_ref, plane_ref, nd_ref, blocks_ref, r6_ref, q4_ref, d_ref,
                 best_t_ref, best_i_ref):
     """One ray tile vs all triangle tiles; everything VMEM-resident.
 
     Layouts are transposed so the lane (last, 128-wide) axis is rays:
     ``edges [3, 6, Tp]``, ``plane [4, Tp]``, ``nd [3, Tp]``,
-    ``r6 [6, R]``, ``q4 [4, R]``, ``d [3, R]``; outputs ``[1, R]``.
+    ``blocks [B, 8]``, ``r6 [6, R]``, ``q4 [4, R]``, ``d [3, R]``;
+    outputs ``[1, R]``.
+
+    Two-level culling: before paying the matmuls for triangle block j,
+    the tile slab-tests its rays against block j's AABB and skips the
+    whole block when no live ray can find a closer hit inside it - the
+    dense, branch-light TPU equivalent of tree traversal.  Coherent
+    tiles (camera / shadow rays) skip most of the scene.
     """
     import jax.lax as lax
 
@@ -189,11 +214,15 @@ def _mxu_kernel(edges_ref, plane_ref, nd_ref, r6_ref, q4_ref, d_ref,
             preferred_element_type=jnp.float32,
         )
 
+    o3 = q4[:3]  # [3, R] origins
+    tiny = 1e-12
+    d_safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    inv_d = 1.0 / d_safe  # [3, R]
+
     best_t = jnp.full((1, r), MAX_DIST, jnp.float32)
     best_i = jnp.zeros((1, r), jnp.int32)
 
-    def body(j, carry):
-        best_t, best_i = carry
+    def intersect_block(j, best_t, best_i):
         sl = pl.ds(j * tri_tile, tri_tile)
         e1 = edges_ref[0, :, sl]  # [6, TT]
         e2 = edges_ref[1, :, sl]
@@ -215,6 +244,29 @@ def _mxu_kernel(edges_ref, plane_ref, nd_ref, r6_ref, q4_ref, d_ref,
         best_t = jnp.where(better, tile_min, best_t)
         best_i = jnp.where(better, j * tri_tile + tile_arg, best_i)
         return best_t, best_i
+
+    def body(j, carry):
+        best_t, best_i = carry
+        if num_tiles == 1:
+            return intersect_block(j, best_t, best_i)
+        # slab test: tile rays vs block j's AABB (scalar bounds broadcast)
+        lo = [blocks_ref[j, k] for k in range(3)]
+        hi = [blocks_ref[j, 3 + k] for k in range(3)]
+        tmin = jnp.full((1, r), -jnp.inf, jnp.float32)
+        tmax = jnp.full((1, r), jnp.inf, jnp.float32)
+        for k in range(3):
+            t1 = (lo[k] - o3[k : k + 1]) * inv_d[k : k + 1]
+            t2 = (hi[k] - o3[k : k + 1]) * inv_d[k : k + 1]
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        live = (tmax >= tmin) & (tmax >= 0.0) & (tmin <= best_t)
+        return lax.cond(
+            jnp.any(live),
+            lambda bt, bi: intersect_block(j, bt, bi),
+            lambda bt, bi: (bt, bi),
+            best_t,
+            best_i,
+        )
 
     best_t, best_i = jax.lax.fori_loop(0, num_tiles, body, (best_t, best_i))
     best_t_ref[:] = best_t
@@ -239,6 +291,7 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
     edges = jnp.pad(feats.edges, ((0, 0), (0, 0), (0, t_pad)))
     plane = jnp.pad(feats.plane, ((0, 0), (0, t_pad)))
     nd = jnp.pad(feats.normal_d, ((0, 0), (0, t_pad)))
+    blocks = feats.block_bounds
 
     grid = (n_pad // RAY_TILE,)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -255,6 +308,7 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
             full(3, 6, edges.shape[-1]),
             full(4, edges.shape[-1]),
             full(3, edges.shape[-1]),
+            full(*blocks.shape),
             ray_spec(6),
             ray_spec(4),
             ray_spec(3),
@@ -265,7 +319,7 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ),
         interpret=interpret,
-    )(edges, plane, nd, r6, q4, d)
+    )(edges, plane, nd, blocks, r6, q4, d)
 
     best_t = best_t[0, :n]
     best_i = best_i[0, :n]

@@ -18,7 +18,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ensem3a_openclraytracer_tpu.accel.lbvh import build_lbvh
+from ensem3a_openclraytracer_tpu.accel.lbvh import build_lbvh, morton_codes
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import TriFeatures, build_tri_features
 from ensem3a_openclraytracer_tpu.ops.traversal import BVHNodes
 from ensem3a_openclraytracer_tpu.scene.config import ConfigReader
@@ -51,8 +51,20 @@ class GeometryPack(NamedTuple):
     feats: Optional[TriFeatures]  # None => no MXU engine; preferred when set
 
 
+def morton_order(v0, v1, v2) -> np.ndarray:
+    """Spatial (Morton) triangle ordering - consecutive triangles land in
+    the same region, which tightens the MXU engine's per-block AABBs and
+    the LBVH's leaf runs."""
+    c = (np.asarray(v0) + np.asarray(v1) + np.asarray(v2)) / 3.0
+    codes = morton_codes(c, c.min(0), c.max(0))
+    return np.argsort(codes, kind="stable").astype(np.int64)
+
+
 def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack:
-    """Pre-gather indexed mesh data into SoA triangles on device."""
+    """Pre-gather indexed mesh data into SoA triangles on device.
+
+    Triangles are Morton-reordered; all per-face arrays (and therefore
+    hit indices) use the reordered space consistently."""
     fd = mesh.face_data
     v0 = mesh.v_p[fd[:, 7]]
     v1 = mesh.v_p[fd[:, 8]]
@@ -61,6 +73,8 @@ def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     uv = mesh.v_uv[np.clip(fd[:, 1], 0, len(mesh.v_uv) - 1)]
     mat = fd[:, 0].astype(np.int32)
+    order = morton_order(v0, v1, v2)
+    v0, v1, v2, n, uv, mat = v0[order], v1[order], v2[order], n[order], uv[order], mat[order]
 
     if use_bvh is None:
         use_bvh = fd.shape[0] > MXU_TRACE_MAX_TRIS
@@ -130,14 +144,15 @@ class Scene:
             material_count=mesh.num_materials - 1,
         )
         table = config.material_table(mesh.num_materials)
-        mat_ids = mesh.face_data[:, 0]
-        emissive = table[np.clip(mat_ids, 0, table.shape[0] - 1), 0] == 0
-        light_faces = np.nonzero(emissive)[0].astype(np.int32)
 
         if rebuild_accel or geometry is None:
             geom = pack_geometry(mesh, use_bvh=use_bvh)
         else:
             geom = geometry
+        # light list in the packed (Morton-ordered) face space
+        mat_ids = np.asarray(geom.mat)
+        emissive = table[np.clip(mat_ids, 0, table.shape[0] - 1), 0] == 0
+        light_faces = np.nonzero(emissive)[0].astype(np.int32)
         return Scene(
             obj_path=obj_path,
             mesh=mesh,

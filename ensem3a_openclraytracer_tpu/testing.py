@@ -52,10 +52,14 @@ def _cube(center, size, mat):
 
 
 def _pack(tris, use_bvh: bool) -> GeometryPack:
+    from ensem3a_openclraytracer_tpu.scene.scene import morton_order
+
     v0 = np.asarray([t[0] for t in tris], np.float32)
     v1 = np.asarray([t[1] for t in tris], np.float32)
     v2 = np.asarray([t[2] for t in tris], np.float32)
     mat = np.asarray([t[3] for t in tris], np.int32)
+    order = morton_order(v0, v1, v2)
+    v0, v1, v2, mat = v0[order], v1[order], v2[order], mat[order]
     n = np.cross(v1 - v0, v2 - v0)
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     uv = np.zeros((len(tris), 2), np.float32)

@@ -35,7 +35,9 @@ def random_rays(rng, n=2000, scale=2.0):
     return jnp.asarray(ro), jnp.asarray(rd)
 
 
-def assert_hits_match(h_ref, h_new, t_tol=1e-4, idx_rate=0.999):
+def assert_hits_match(h_ref, h_new, t_tol=1e-4, idx_rate=0.995):
+    # idx_rate < 1: on shared quad edges both triangles have the same t and
+    # MT vs Plucker tie-breaking may legitimately pick either one
     hit_r = np.asarray(h_ref.hit)
     hit_n = np.asarray(h_new.hit)
     assert (hit_r == hit_n).mean() > 0.999
@@ -99,3 +101,21 @@ def test_degenerate_triangles_never_hit(rng):
     ro, rd = random_rays(rng, n=64)
     h = trace_mxu(feats, ro, rd)
     assert not bool(np.asarray(h.hit).any())
+
+
+def test_pallas_block_culling_matches_scan(rng):
+    """Multi-block path (block-AABB culling + lax.cond) agrees with the
+    scan engine on a large soup with spatial structure."""
+    t = 1500  # ~6 blocks at TRI_TILE=256
+    centers = rng.uniform(-10, 10, size=(t, 3)).astype(np.float32)
+    v0 = centers + rng.normal(scale=0.3, size=(t, 3)).astype(np.float32)
+    v1 = centers + rng.normal(scale=0.3, size=(t, 3)).astype(np.float32)
+    v2 = centers + rng.normal(scale=0.3, size=(t, 3)).astype(np.float32)
+    feats = build_tri_features(v0, v1, v2)
+    assert feats.block_bounds.shape[0] >= 6
+    ro, rd = random_rays(rng, n=700, scale=12.0)
+    h_ref = trace_mxu(feats, ro, rd)
+    h_pal = trace_mxu_pallas(feats, ro, rd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_pal.hit))
+    np.testing.assert_array_equal(np.asarray(h_ref.tri), np.asarray(h_pal.tri))
+    np.testing.assert_allclose(np.asarray(h_ref.t), np.asarray(h_pal.t), atol=1e-5)
