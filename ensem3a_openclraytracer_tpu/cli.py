@@ -45,6 +45,15 @@ def cmd_render(args) -> int:
     max_bounce = args.max_bounce or rs.max_bounce
     env = sc.env_params()
     sun_enabled = float(env.sun_power) != 0.0
+    lights = None
+    nee = bool(getattr(args, "nee", False))
+    if nee:
+        from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+        lights = build_light_pack(sc.geometry, sc.material_params())
+        if lights is None:
+            print("warning: --nee requested but scene has no emissive faces; disabled")
+            nee = False
 
     chunk = min(args.chunk_spp, spp)
     kw = dict(
@@ -53,6 +62,8 @@ def cmd_render(args) -> int:
         max_bounce=max_bounce,
         chunk_spp=chunk,
         sun_enabled=sun_enabled,
+        lights=lights,
+        nee=nee,
     )
     ckpt = args.checkpoint
     if ckpt and os.path.exists(ckpt) and not args.restart:
@@ -204,6 +215,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--chunk-spp", type=int, default=16, dest="chunk_spp")
     r.add_argument("--checkpoint", help="progressive .npz checkpoint path (resume if exists)")
     r.add_argument("--restart", action="store_true", help="ignore an existing checkpoint")
+    r.add_argument("--nee", action="store_true",
+                   help="next-event estimation (lower variance; needs emissive faces)")
     r.add_argument("--verbose", action="store_true")
     r.set_defaults(fn=cmd_render)
 

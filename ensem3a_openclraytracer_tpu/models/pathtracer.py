@@ -41,7 +41,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
+from ensem3a_openclraytracer_tpu.ops.bsdf import (
+    EMISSIVE,
+    GLASS,
+    GLOSSY,
+    eval_ggx,
+    eval_lambert,
+    sample_bounce,
+)
+from ensem3a_openclraytracer_tpu.ops.geometry import (
+    normalize as _normalize,
+    sample_point_in_triangle,
+)
 from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
@@ -53,7 +64,7 @@ from ensem3a_openclraytracer_tpu.scene.materials import (
     EnvParams,
     MaterialParams,
 )
-from ensem3a_openclraytracer_tpu.scene.scene import GeometryPack
+from ensem3a_openclraytracer_tpu.scene.scene import GeometryPack, LightPack
 
 
 import functools as _functools
@@ -134,13 +145,27 @@ def radiance_for_rays(
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
+    lights: Optional[LightPack] = None,
+    nee: bool = False,
 ) -> jnp.ndarray:
     """Estimate radiance ``[N, 3]`` for an arbitrary primary-ray batch
     (unclamped mean over ``spp`` samples).  This is the shardable core:
     the parallel layer slices the pixel set into per-chip ray batches and
     calls this under ``shard_map`` (scene replicated, rays data-parallel).
     ``uniforms`` optionally supplies the random stream as
-    ``[spp, max_bounce + 1, N, 2]`` for oracle parity."""
+    ``[spp, max_bounce + 1, N, 2]`` for oracle parity.
+
+    ``nee=True`` (requires ``lights``) switches the estimator to
+    next-event estimation: one area-sampled shadow ray per diffuse/glossy
+    vertex, with BSDF-path emission suppressed at vertices whose direct
+    light was already sampled - an unbiased, far lower-variance estimator
+    than the reference's pure BSDF sampling (its ``sampleLight`` is dead
+    code, MathLib.cl:419-454).  NEE perturbs the random stream, so it is
+    mutually exclusive with ``uniforms``."""
+    if nee and lights is None:
+        raise ValueError("nee=True requires a LightPack")
+    if nee and uniforms is not None:
+        raise ValueError("nee is incompatible with an explicit uniform stream")
     n_rays = ray_o.shape[0]
 
     # Primary hit, cached across all samples (Raytracing.cl:184-187).
@@ -156,16 +181,67 @@ def radiance_for_rays(
         primary_hit.hit[:, None], 0.0, env_radiance(ray_d)
     )
 
+    n_lights = 0 if lights is None else lights.v0.shape[0]
+
+    def nee_contribution(live, thr, in_dir, surf, ul):
+        """One shadow ray toward an area-sampled light point; returns the
+        direct-light radiance for diffuse/glossy lanes (area-measure pdf
+        converted to solid angle; lights are double-sided like the
+        reference's emissive surfaces)."""
+        u3, u4, u5 = ul[:, 0], ul[:, 1], ul[:, 2]
+        li = jnp.clip((u3 * n_lights).astype(jnp.int32), 0, n_lights - 1)
+        lrows = gather_rows(
+            jnp.concatenate(
+                [lights.v0, lights.v1, lights.v2, lights.n,
+                 lights.power[:, None], lights.area[:, None]], axis=1
+            ),
+            li,
+        )
+        lv0, lv1, lv2 = lrows[:, 0:3], lrows[:, 3:6], lrows[:, 6:9]
+        ln, lpow, larea = lrows[:, 9:12], lrows[:, 12], lrows[:, 13]
+        x = sample_point_in_triangle(lv0, lv1, lv2, u4, u5)
+        delta = x - surf.p
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-8)
+        dist = jnp.sqrt(dist2)
+        ldir = delta / dist[:, None]
+        ldir = jax.lax.stop_gradient(ldir)
+
+        cos_s = jnp.sum(ldir * surf.n, axis=-1)
+        cos_l = jnp.abs(jnp.sum(ldir * ln, axis=-1))
+        shadow = trace(geom, surf.p, ldir)
+        visible = shadow.t >= dist * (1.0 - 1e-3)
+
+        is_glossy = surf.mtype == GLOSSY
+        brdf = jnp.where(
+            is_glossy[:, None],
+            eval_ggx(surf.color, surf.rough, -in_dir, ldir, surf.n),
+            eval_lambert(surf.color),
+        )
+        # pdf_area = 1/(L * area); solid-angle conversion dist^2 / cos_l
+        weight = (n_lights * larea) * cos_l / dist2
+        sampled = live & (surf.mtype != EMISSIVE) & (surf.mtype != GLASS)
+        ok = sampled & visible & (cos_s > 0.0) & (cos_l > 1e-6)
+        contrib = thr * brdf * (jnp.maximum(cos_s, 0.0) * weight * lpow)[:, None]
+        return jnp.where(ok[:, None], contrib, 0.0), sampled
+
     def bounce_step(carry, xs):
-        live, thr, rad, in_dir, surf = carry
-        j, u = xs
+        live, thr, rad, in_dir, surf, emit_ok = carry
+        j, u, ul = xs
         u1, u2 = u[:, 0], u[:, 1]
 
         # terminal event: sitting on an emissive surface (power lives in
-        # the roughness slot, Raytracing.cl:107/:142)
+        # the roughness slot, Raytracing.cl:107/:142); with NEE active the
+        # emission was already estimated at the previous vertex
         emis = live & (surf.mtype == EMISSIVE)
-        rad = rad + jnp.where(emis[:, None], thr * surf.rough[:, None], 0.0)
+        rad = rad + jnp.where(
+            (emis & emit_ok)[:, None], thr * surf.rough[:, None], 0.0
+        )
         live = live & ~emis
+
+        if nee:
+            direct, sampled = nee_contribution(live, thr, in_dir, surf, ul)
+            rad = rad + direct
+            emit_ok = jnp.where(live & sampled, False, emit_ok)
 
         # sample the bounce and update throughput (Raytracing.cl:58-87)
         bdir, factor = sample_bounce(
@@ -212,28 +288,36 @@ def radiance_for_rays(
             rough=jnp.where(live, new_surf.rough, surf.rough),
         )
         in_dir = jnp.where(lm, bdir, in_dir)
-        return (live, thr, rad, in_dir, surf), None
+        return (live, thr, rad, in_dir, surf, emit_ok), None
 
     def one_sample(sample_key, sample_uniforms):
         """One spp sample for every pixel -> radiance [N, 3]."""
         if sample_uniforms is None:
-            keys = jax.random.split(sample_key, max_bounce + 1)
-            us = jax.vmap(lambda k: jax.random.uniform(k, (n_rays, 2)))(keys)
+            us = jax.random.uniform(
+                jax.random.fold_in(sample_key, 0), (max_bounce + 1, n_rays, 2)
+            )
         else:
             us = sample_uniforms
+        if nee:
+            uls = jax.random.uniform(
+                jax.random.fold_in(sample_key, 1), (max_bounce + 1, n_rays, 3)
+            )
+        else:
+            uls = jnp.zeros((max_bounce + 1, n_rays, 0), jnp.float32)
         carry0 = (
             primary_hit.hit,
             jnp.ones_like(ray_d),  # *_like keeps shard_map vma typing
             primary_miss_rad,
             ray_d,
             primary_surf,
+            jnp.ones_like(primary_hit.hit),  # emit_ok
         )
-        xs = (np.arange(max_bounce + 1), us)
-        (live, thr, rad, _, surf), _ = jax.lax.scan(bounce_step, carry0, xs)
+        xs = (np.arange(max_bounce + 1), us, uls)
+        (live, thr, rad, _, surf, emit_ok), _ = jax.lax.scan(bounce_step, carry0, xs)
         # final terminal check: a path whose last bounce landed on a light
         # still contributes; anything else live contributes 0
         # (the reference's max-bounce nullification, Raytracing.cl:99-109)
-        final_emis = live & (surf.mtype == EMISSIVE)
+        final_emis = live & (surf.mtype == EMISSIVE) & emit_ok
         rad = rad + jnp.where(final_emis[:, None], thr * surf.rough[:, None], 0.0)
         return rad
 
@@ -268,6 +352,8 @@ def render_radiance(
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
+    lights: Optional[LightPack] = None,
+    nee: bool = False,
 ) -> jnp.ndarray:
     """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
     over ``spp`` samples) for a pinhole camera view."""
@@ -286,6 +372,8 @@ def render_radiance(
         sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear,
         uniforms=uniforms,
+        lights=lights,
+        nee=nee,
     )
     return rad.reshape(height, width, 3)
 
@@ -305,6 +393,7 @@ render_radiance_jit = jax.jit(
         "max_bounce",
         "sun_enabled",
         "ibl_bilinear",
+        "nee",
     ),
 )
 
@@ -319,13 +408,21 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
     res = int(overrides.get("resolution", rs.resolution))
     spp = int(overrides.get("spp", rs.spp))
     max_bounce = int(overrides.get("max_bounce", rs.max_bounce))
+    nee = bool(overrides.get("nee", False))
     if key is None:
         key = jax.random.PRNGKey(0)
     env = scene.env_params()
+    materials = scene.material_params()
     sun_enabled = bool(float(env.sun_power) != 0.0)
+    lights = None
+    if nee:
+        from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+        lights = build_light_pack(scene.geometry, materials)
+        nee = lights is not None
     radiance = render_radiance_jit(
         scene.geometry,
-        scene.material_params(),
+        materials,
         env,
         scene.camera_params(),
         key,
@@ -334,5 +431,7 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
         spp=spp,
         max_bounce=max_bounce,
         sun_enabled=sun_enabled,
+        lights=lights,
+        nee=nee,
     )
     return jnp.clip(radiance, 0.0, 1.0)

@@ -84,6 +84,8 @@ class ProgressiveRenderer:
         sun_enabled: bool = True,
         base_seed: int = 0,
         state: Optional[ProgressiveState] = None,
+        lights=None,
+        nee: bool = False,
     ):
         self.geom = geom
         self.materials = materials
@@ -107,7 +109,10 @@ class ProgressiveRenderer:
                 spp=chunk_spp,
                 max_bounce=max_bounce,
                 sun_enabled=sun_enabled,
-            )
+                lights=lights,
+                nee=nee,
+            ),
+            static_argnames=(),
         )
 
     def step(self) -> np.ndarray:

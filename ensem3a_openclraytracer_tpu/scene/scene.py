@@ -37,6 +37,45 @@ from ensem3a_openclraytracer_tpu.scene.objloader import ObjMesh, load_obj
 MXU_TRACE_MAX_TRIS = 65536
 
 
+class LightPack(NamedTuple):
+    """Emissive-triangle table for next-event estimation (the working
+    version of the reference's dead ``sampleLight``, MathLib.cl:419-454).
+    Static shapes: one row per emissive face."""
+
+    v0: jnp.ndarray  # [L, 3]
+    v1: jnp.ndarray  # [L, 3]
+    v2: jnp.ndarray  # [L, 3]
+    n: jnp.ndarray  # [L, 3] unit geometric normal
+    power: jnp.ndarray  # [L] emissive power (the material roughness slot)
+    area: jnp.ndarray  # [L]
+
+
+def build_light_pack(geom: "GeometryPack", materials) -> Optional[LightPack]:
+    """Collect emissive faces (material type 0) from a packed geometry.
+    Returns None when the scene has no lights."""
+    mat_ids = np.asarray(geom.mat)
+    mtype = np.asarray(materials.mtype)
+    power = np.asarray(materials.roughness)
+    emissive = mtype[np.clip(mat_ids, 0, mtype.shape[0] - 1)] == 0
+    idx = np.nonzero(emissive)[0]
+    if idx.size == 0:
+        return None
+    v0 = np.asarray(geom.v0)[idx]
+    v1 = np.asarray(geom.v1)[idx]
+    v2 = np.asarray(geom.v2)[idx]
+    nrm = np.cross(v1 - v0, v2 - v0)
+    area = 0.5 * np.linalg.norm(nrm, axis=-1)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    return LightPack(
+        v0=jnp.asarray(v0),
+        v1=jnp.asarray(v1),
+        v2=jnp.asarray(v2),
+        n=jnp.asarray(nrm),
+        power=jnp.asarray(power[mat_ids[idx]]),
+        area=jnp.asarray(area.astype(np.float32)),
+    )
+
+
 class GeometryPack(NamedTuple):
     """Device-resident SoA triangle soup (+ optional BVH)."""
 
