@@ -58,15 +58,18 @@ def main():
         )
     )
 
-    # compile + warmup
+    import jax.numpy as jnp
+
+    # compile + warmup; the scalar fetch forces real completion (plain
+    # block_until_ready can return early over tunneled backends)
     img = fn(geom, materials, env, camera, key)
-    img.block_until_ready()
+    float(jnp.sum(img))
 
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
         img = fn(geom, materials, env, camera, jax.random.fold_in(key, i))
-    img.block_until_ready()
+        float(jnp.sum(img))  # per-run completion barrier
     dt = (time.perf_counter() - t0) / runs
 
     # primary rays are cached once per pixel; each sample shoots up to

@@ -88,7 +88,9 @@ def cmd_render(args) -> int:
     wall = time.time() - t0
     out = args.out or os.path.join("output", "out.png")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    save_png(np.clip(img, 0.0, 1.0), out)
+    from ensem3a_openclraytracer_tpu.ops.tonemap import postprocess
+
+    save_png(np.asarray(postprocess(img, mode=args.tonemap)), out)
     m = RenderMetrics(wall, res, r.state.spp_done, max_bounce, sun_enabled)
     print(f"rendered {res}x{res} @ {r.state.spp_done} spp in {wall:.2f}s "
           f"({m.mrays_per_s:.1f} Mrays/s) -> {out}")
@@ -215,6 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--chunk-spp", type=int, default=16, dest="chunk_spp")
     r.add_argument("--checkpoint", help="progressive .npz checkpoint path (resume if exists)")
     r.add_argument("--restart", action="store_true", help="ignore an existing checkpoint")
+    r.add_argument("--tonemap", default="clamp",
+                   choices=["clamp", "gamma", "reference_gamma"],
+                   help="output transform (reference default: clamp)")
     r.add_argument("--nee", action="store_true",
                    help="next-event estimation (lower variance; needs emissive faces)")
     r.add_argument("--verbose", action="store_true")
