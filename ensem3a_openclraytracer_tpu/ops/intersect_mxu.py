@@ -207,12 +207,26 @@ def _mxu_kernel(edges_ref, plane_ref, nd_ref, blocks_ref, r6_ref, q4_ref, d_ref,
     tri_tile = min(TRI_TILE, tp)
     num_tiles = tp // tri_tile
 
-    def dot(a, b):  # [TT, K] @ [K, R] in full f32 on the MXU
+    def dot_fast(a, b):
+        """Single-pass bf16 MXU dot - used ONLY for the Plucker sign
+        tests.  Edge watertightness survives bf16: shared-edge features
+        are exact negations, so the two triangles' w's are exact
+        negatives and one side always accepts.  Silhouette-edge sign
+        flips are sub-pixel MC noise."""
         return lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
+            precision=lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )
+
+    def outer_sum(rows, cols, sl, k):
+        """Exact f32 [TT, R] contraction on the VPU via outer-product
+        accumulation - full precision for the hit distance without the
+        6-pass f32 MXU cost."""
+        acc = rows[0, sl][:, None] * cols[0][None, :]
+        for i in range(1, k):
+            acc = acc + rows[i, sl][:, None] * cols[i][None, :]
+        return acc
 
     o3 = q4[:3]  # [3, R] origins
     tiny = 1e-12
@@ -227,14 +241,14 @@ def _mxu_kernel(edges_ref, plane_ref, nd_ref, blocks_ref, r6_ref, q4_ref, d_ref,
         e1 = edges_ref[0, :, sl]  # [6, TT]
         e2 = edges_ref[1, :, sl]
         e3 = edges_ref[2, :, sl]
-        w1 = dot(e1.T, r6)  # [TT, R]
-        w2 = dot(e2.T, r6)
-        w3 = dot(e3.T, r6)
+        w1 = dot_fast(e1.T, r6)  # [TT, R]
+        w2 = dot_fast(e2.T, r6)
+        w3 = dot_fast(e3.T, r6)
         inside = ((w1 >= 0) & (w2 >= 0) & (w3 >= 0)) | (
             (w1 <= 0) & (w2 <= 0) & (w3 <= 0)
         )
-        den = dot(nd_ref[:, sl].T, d)  # [TT, R]
-        num = dot(plane_ref[:, sl].T, q4)  # [TT, R]
+        den = outer_sum(nd_ref, d, sl, 3)  # [TT, R] exact f32
+        num = outer_sum(plane_ref, q4, sl, 4)  # [TT, R] exact f32
         t = num / jnp.where(den == 0.0, 1.0, den)
         valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
         t = jnp.where(valid, t, MAX_DIST)
