@@ -23,9 +23,8 @@ import jax.numpy as jnp
 from ensem3a_openclraytracer_tpu.ops.geometry import dot, normalize
 from ensem3a_openclraytracer_tpu.ops.sampling import (
     PI,
+    orthonormal_basis,
     sample_glass,
-    sample_hemisphere_cosine,
-    sample_hemisphere_uniform,
 )
 
 # Material type codes (UI.py:215, SURVEY.md section 2.3).
@@ -51,17 +50,23 @@ def eval_ggx(color, roughness, v, l, n):
     h = normalize(l + v)
     alpha_sqr = jnp.square(roughness)
     ndoth = jnp.maximum(dot(n, h), 0.0)
-    d = alpha_sqr / jnp.maximum(
+    d_den = jnp.maximum(
         PI * jnp.square(jnp.square(ndoth) * (alpha_sqr - 1.0) + 1.0), 1e-12
     )
     k = roughness * jnp.sqrt(2.0 / PI)
     ndotv = jnp.maximum(dot(n, v), 0.0)
-    g1 = ndotv / jnp.maximum(ndotv * (1.0 - k) + k, 1e-12)
     ndotl = jnp.maximum(dot(n, l), 0.0)
-    g2 = ndotl / jnp.maximum(ndotl * (1.0 - k) + k, 1e-12)
+    g1_den = jnp.maximum(ndotv * (1.0 - k) + k, 1e-12)
+    g2_den = jnp.maximum(ndotl * (1.0 - k) + k, 1e-12)
     f0 = 0.04
-    f = f0 + (1.0 - f0) * jnp.power(1.0 - jnp.maximum(dot(h, v), 0.0), 5)
-    specular = (f * g1 * g2 * d) / jnp.maximum(4.0 * ndotv * ndotl, 1e-3)
+    one_m_hv = 1.0 - jnp.maximum(dot(h, v), 0.0)
+    p2 = one_m_hv * one_m_hv
+    f = f0 + (1.0 - f0) * (p2 * p2 * one_m_hv)
+    # algebraically (f * g1 * g2 * d) / max(4 nv nl, 1e-3) with g_i's
+    # numerators moved up - one division instead of four
+    specular = (f * alpha_sqr * ndotv * ndotl) / (
+        d_den * g1_den * g2_den * jnp.maximum(4.0 * ndotv * ndotl, 1e-3)
+    )
     kd = (1.0 - f) * 0.5
     diffuse = kd[..., None] * color / PI
     return diffuse + specular[..., None]
@@ -85,8 +90,30 @@ def sample_bounce(mat_type, color, roughness, in_dir, n, u1, u2):
     Emissive lanes are terminated by the caller before sampling; they
     receive the diffuse lobe here, which is ignored.
     """
-    d_diff, invpdf_diff = sample_hemisphere_cosine(n, u1, u2)
-    d_unif, invpdf_unif = sample_hemisphere_uniform(n, u1, u2)
+    # Fused hemisphere lobes: one tangent frame + one sin/cos pair feeds
+    # both the cosine (diffuse) and uniform (glossy) samples - the same
+    # distributions as sample_hemisphere_{cosine,uniform}, dedup'd
+    # because this runs for every lane at every bounce.
+    t, bt = orthonormal_basis(n)
+    phi = 2.0 * PI * u2
+    cphi = jnp.cos(phi)
+    sphi = jnp.sin(phi)
+    r = jnp.sqrt(u1)
+    z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    d_diff = (
+        t * (r * cphi)[..., None]
+        + bt * (r * sphi)[..., None]
+        + n * z_cos[..., None]
+    )
+    invpdf_diff = PI / jnp.maximum(z_cos, 1e-6)
+    cos_u = 1.0 - u1
+    sin_u = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_u * cos_u))
+    d_unif = (
+        t * (sin_u * cphi)[..., None]
+        + bt * (sin_u * sphi)[..., None]
+        + n * cos_u[..., None]
+    )
+    invpdf_unif = 2.0 * PI
     d_glass, _ = sample_glass(in_dir)
 
     is_glossy = mat_type == GLOSSY

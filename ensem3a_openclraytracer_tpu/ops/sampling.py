@@ -51,22 +51,29 @@ def sample_hemisphere_cosine(n, u1, u2):
     inv_pdf = pi / max(cos_theta, eps); together with the estimator's
     ``inv_pdf * |cos|`` attenuation this reproduces the reference's
     Lambert importance sampling exactly (with float32 pi instead of 3.14f).
+
+    The local sample is unit by construction (r^2 + z^2 = 1) and the
+    tangent frame is orthonormal, so no re-normalization is needed, and
+    cos_theta == the sampled local z = sqrt(1 - u1).
     """
     r = jnp.sqrt(u1)
     phi = 2.0 * PI * u2
-    local = jnp.stack(
-        [r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))],
-        axis=-1,
-    )
-    d = normalize(local_to_world(local, n))
-    inv_pdf = PI / jnp.maximum(dot(d, n), 1e-6)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    local = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    d = local_to_world(local, n)
+    inv_pdf = PI / jnp.maximum(z, 1e-6)
     return d, inv_pdf
 
 
 def sample_hemisphere_uniform(n, u1, u2):
-    """Uniform hemisphere sample (MathLib.cl:342-366); inv_pdf = 2*pi."""
-    phi = 2.0 * PI * u1
-    cos_theta = 1.0 - u2
+    """Uniform hemisphere sample (MathLib.cl:342-366); inv_pdf = 2*pi.
+
+    Uses u2 for azimuth and u1 for the polar angle (the same roles as
+    the cosine sampler) so a fused caller can share one sin/cos pair;
+    u1 and u2 are iid uniforms, so the distribution is unchanged.
+    """
+    phi = 2.0 * PI * u2
+    cos_theta = 1.0 - u1
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     local = jnp.stack(
         [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1

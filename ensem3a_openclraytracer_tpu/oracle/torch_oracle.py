@@ -114,21 +114,22 @@ def local_to_world(local_v, n):
 
 
 def sample_cosine(n, u1, u2):
+    # mirrors ops/sampling.sample_hemisphere_cosine: the local sample is
+    # unit by construction, cos_theta == local z == sqrt(1 - u1)
     r = torch.sqrt(u1)
     phi = 2.0 * PI * u2
-    local = torch.stack(
-        [r * torch.cos(phi), r * torch.sin(phi), torch.sqrt((1.0 - u1).clamp(min=0.0))],
-        dim=-1,
-    )
+    z = (1.0 - u1).clamp(min=0.0).sqrt()
+    local = torch.stack([r * torch.cos(phi), r * torch.sin(phi), z], dim=-1)
     d = local_to_world(local, n)
-    d = d / d.norm(dim=-1, keepdim=True)
-    inv_pdf = PI / (d * n).sum(-1).clamp(min=1e-6)
+    inv_pdf = PI / z.clamp(min=1e-6)
     return d, inv_pdf
 
 
 def sample_uniform(n, u1, u2):
-    phi = 2.0 * PI * u1
-    cos_t = 1.0 - u2
+    # mirrors ops/sampling.sample_hemisphere_uniform: u2 = azimuth,
+    # u1 = polar (same roles as sample_cosine)
+    phi = 2.0 * PI * u2
+    cos_t = 1.0 - u1
     sin_t = torch.sqrt((1.0 - cos_t * cos_t).clamp(min=0.0))
     local = torch.stack(
         [torch.cos(phi) * sin_t, torch.sin(phi) * sin_t, cos_t], dim=-1
