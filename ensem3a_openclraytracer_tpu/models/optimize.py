@@ -94,6 +94,7 @@ def make_train_step(
                 spp=spp,
                 max_bounce=max_bounce,
                 sun_enabled=sun_enabled,
+                fused=False,  # gradients flow through the scan estimator
             )
         return render_radiance_sharded(
             mesh,
@@ -107,6 +108,7 @@ def make_train_step(
             spp=spp,
             max_bounce=max_bounce,
             sun_enabled=sun_enabled,
+            fused=False,  # gradients flow through the scan estimator
         )
 
     def loss_fn(params, target, key):

@@ -56,6 +56,7 @@ from ensem3a_openclraytracer_tpu.ops.geometry import (
 from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
+from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import trace_mxu, trace_mxu_pallas
 from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
@@ -147,6 +148,7 @@ def radiance_for_rays(
     uniforms: Optional[jnp.ndarray] = None,
     lights: Optional[LightPack] = None,
     nee: bool = False,
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Estimate radiance ``[N, 3]`` for an arbitrary primary-ray batch
     (unclamped mean over ``spp`` samples).  This is the shardable core:
@@ -154,6 +156,12 @@ def radiance_for_rays(
     calls this under ``shard_map`` (scene replicated, rays data-parallel).
     ``uniforms`` optionally supplies the random stream as
     ``[spp, max_bounce + 1, N, 2]`` for oracle parity.
+
+    ``fused`` selects the single-kernel sample engine (ops/fused.py:
+    bounce loop + RNG + shading in VMEM).  Default (None) auto-enables
+    it on TPU for forward renders on the MXU geometry path; it is
+    forward-only (no autodiff through Pallas), so differentiating
+    callers must pass ``fused=False``.
 
     ``nee=True`` (requires ``lights``) switches the estimator to
     next-event estimation: one area-sampled shadow ray per diffuse/glossy
@@ -180,6 +188,52 @@ def radiance_for_rays(
     primary_miss_rad = jnp.where(
         primary_hit.hit[:, None], 0.0, env_radiance(ray_d)
     )
+
+    if fused is None:
+        fused = (
+            _on_tpu()
+            and geom.feats is not None
+            and uniforms is None
+            and not nee
+        )
+    if fused:
+        if geom.feats is None:
+            raise ValueError("fused=True requires the MXU geometry path (feats)")
+        if nee or uniforms is not None:
+            raise ValueError("fused=True supports the BSDF-only threefry-free path")
+        tri_attrs = fused_ops.build_tri_attrs(
+            geom.n,
+            geom.mat,
+            materials.mtype,
+            materials.color,
+            materials.roughness,
+            geom.feats.edges.shape[-1],
+        )
+        sun_dir_v = sun_direction(env.sun_angles_deg)
+
+        def fused_spp_step(acc, k):
+            rad, esc_thr, esc_dir = fused_ops.sample_fused(
+                geom.feats,
+                tri_attrs,
+                primary_surf.p,
+                primary_surf.n,
+                primary_surf.mtype,
+                primary_surf.color,
+                primary_surf.rough,
+                primary_hit.hit,
+                ray_d,
+                sun_dir_v,
+                env.sun_power,
+                k,
+                max_bounce=max_bounce,
+                sun_enabled=sun_enabled,
+            )
+            return acc + rad + esc_thr * env_radiance(esc_dir), None
+
+        acc, _ = jax.lax.scan(
+            fused_spp_step, jnp.zeros_like(ray_d), jax.random.split(key, spp)
+        )
+        return acc / spp + primary_miss_rad
 
     n_lights = 0 if lights is None else lights.v0.shape[0]
 
@@ -360,6 +414,7 @@ def render_radiance(
     uniforms: Optional[jnp.ndarray] = None,
     lights: Optional[LightPack] = None,
     nee: bool = False,
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
     over ``spp`` samples) for a pinhole camera view."""
@@ -380,6 +435,7 @@ def render_radiance(
         uniforms=uniforms,
         lights=lights,
         nee=nee,
+        fused=fused,
     )
     return rad.reshape(height, width, 3)
 
@@ -400,6 +456,7 @@ render_radiance_jit = jax.jit(
         "sun_enabled",
         "ibl_bilinear",
         "nee",
+        "fused",
     ),
 )
 

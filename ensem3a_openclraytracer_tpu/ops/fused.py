@@ -1,0 +1,482 @@
+"""Fused path-tracing sample kernel: the whole bounce loop in VMEM.
+
+The scan estimator (models/pathtracer.py) runs each bounce as a chain of
+XLA ops over [N, 3] arrays - every intermediate round-trips HBM, and the
+threefry uniforms, one-hot gathers and IBL lookups each cost another
+pass.  This kernel executes ONE full Monte-Carlo sample (primary-hit
+state -> radiance) for a tile of rays entirely on-chip:
+
+  * scene intersection features stay VMEM-resident (TriFeatures +
+    an [8, Tp] per-triangle attribute table: normal, material type,
+    color, roughness - material records pre-joined per face);
+  * the bounce loop is a static Python loop over ``max_bounce + 1``
+    (bounces are inherently sequential, SURVEY.md section 5);
+  * closest-hit uses the same Plucker/plane tests as ops/intersect_mxu
+    with packed int32 (t | row) single-reduction min - the in-tile
+    argmin row doubles as a one-hot (keys are unique per row), so the
+    winner's attributes come from one small f32 matmul;
+  * uniforms come from the TPU core PRNG (pltpu.prng_*), seeded per
+    (sample key, ray tile) - zero HBM traffic for randomness;
+  * sun shadow rays (closest-hit + occluder attributes, for the
+    reference's glass-tinted sun, Raytracing.cl:115-133) run in-kernel;
+  * IBL lookups are hoisted OUT: a path escapes at most once, so the
+    kernel emits an escape record (throughput, direction) per ray and
+    the caller adds ``esc_thr * ibl(esc_dir)`` - arbitrary-size
+    environment maps without in-kernel gathers.
+
+HBM traffic per sample collapses to: primary state in (~14 f32/ray),
+(radiance, escape) out (9 f32/ray).  Forward-only by construction
+(Pallas has no autodiff); differentiable renders use the scan estimator.
+
+Semantics match the scan estimator's BSDF-only path exactly except for
+the random stream (hardware PRNG vs threefry) and the hit distance
+carrying 24 significant mantissa bits (the low 8 carry the argmin row;
+relative 3e-5 - far below MIN_HIT_DIST).  NEE and explicit-uniform
+renders stay on the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ensem3a_openclraytracer_tpu.ops.geometry import MAX_DIST, MIN_HIT_DIST
+from ensem3a_openclraytracer_tpu.ops.intersect_mxu import TRI_TILE, TriFeatures
+from ensem3a_openclraytracer_tpu.ops.sampling import PI
+
+RAY_TILE = 1024
+
+# attribute rows in the per-triangle table
+_A_NX, _A_NY, _A_NZ, _A_MT, _A_CR, _A_CG, _A_CB, _A_RO = range(8)
+_N_ATTR = 8
+
+_EMISSIVE, _DIFFUSE, _GLOSSY, _GLASS = 0.0, 1.0, 2.0, 3.0
+
+
+def build_tri_attrs(face_n, face_mat, mtype, color, roughness, tp: int):
+    """[8, Tp] per-triangle attribute table: the face normal joined with
+    the face's material record (type, rgb, roughness/emissive-power).
+    Traced (not host) so material edits don't rebuild geometry; padding
+    triangles get zeros = emissive with power 0 (contribute nothing,
+    and padding never wins the closest-hit anyway)."""
+    face_n = jnp.asarray(face_n, jnp.float32)
+    midx = jnp.asarray(face_mat, jnp.int32)
+    mt = jnp.asarray(mtype, jnp.float32)[midx]  # [T]
+    col = jnp.asarray(color, jnp.float32)[midx]  # [T, 3]
+    ro = jnp.asarray(roughness, jnp.float32)[midx]  # [T]
+    t = face_n.shape[0]
+    attrs = jnp.concatenate(
+        [face_n, mt[:, None], col, ro[:, None]], axis=1
+    ).T  # [8, T]
+    return jnp.pad(attrs, ((0, 0), (0, tp - t)))
+
+
+def _u01(shape):
+    """Uniforms in [0, 1) from the core PRNG (top 24 bits, exact f32)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _dot3(a, b):
+    """Row-wise dot of two [3, R] stacks -> [1, R]."""
+    return (a[0:1] * b[0:1] + a[1:2] * b[1:2] + a[2:3] * b[2:3])
+
+
+def _cross3(a, b):
+    return jnp.concatenate(
+        [
+            a[1:2] * b[2:3] - a[2:3] * b[1:2],
+            a[2:3] * b[0:1] - a[0:1] * b[2:3],
+            a[0:1] * b[1:2] - a[1:2] * b[0:1],
+        ],
+        axis=0,
+    )
+
+
+def _where3(m, a, b):
+    """Select [3, R] by a [1, R] mask."""
+    return jnp.where(jnp.broadcast_to(m, a.shape), a, b)
+
+
+_MAXKEY = np.int32(
+    np.asarray(np.float32(MAX_DIST)).view(np.int32) & ~np.int32(0xFF)
+)
+
+
+def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
+                 tri_tile: int, use_prng: bool = True):
+    """Build the fused kernel for static (max_bounce, sun, scene-size).
+
+    ``use_prng=False`` swaps the in-kernel PRNG for an explicit uniform
+    input ``[(max_bounce + 1) * 2, R]`` - the CPU-interpretable test
+    mode (prng_seed has no CPU lowering), which also lets equivalence
+    tests drive the fused kernel and the scan estimator with the SAME
+    random stream."""
+
+    def dot_bf16(a, b):
+        return lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot_f32(a, b):
+        return lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(seed_ref, env_ref, edges_ref, plane_ref, nd_ref, blocks_ref,
+               attrs_ref, p_ref, n_ref, misc_ref, color_ref, indir_ref,
+               *rest_refs):
+        if use_prng:
+            u_ref = None
+            rad_ref, escthr_ref, escdir_ref = rest_refs
+        else:
+            u_ref, rad_ref, escthr_ref, escdir_ref = rest_refs
+        r = p_ref.shape[-1]
+        row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
+
+        def outer_sum(rows, cols, sl, k):
+            acc = rows[0, sl][:, None] * cols[0][None, :]
+            for i in range(1, k):
+                acc = acc + rows[i, sl][:, None] * cols[i][None, :]
+            return acc
+
+        def trace(p, dirv):
+            """Closest hit of [3, R] rays; returns (t [1,R], hit [1,R],
+            attrs [8, R] of the winning triangle)."""
+            dxo = _cross3(dirv, p)
+            r6 = jnp.concatenate([dirv, dxo], axis=0)  # [6, R]
+            q4 = jnp.concatenate([p, jnp.ones_like(p[0:1])], axis=0)  # [4, R]
+            tiny = 1e-12
+            d_safe = jnp.where(
+                jnp.abs(dirv) < tiny, jnp.where(dirv < 0, -tiny, tiny), dirv
+            )
+            inv_d = 1.0 / d_safe
+
+            def intersect_block(j, best_key, best_attr):
+                sl = pl.ds(j * tri_tile, tri_tile)
+                w1 = dot_bf16(edges_ref[0, :, sl].T, r6)
+                w2 = dot_bf16(edges_ref[1, :, sl].T, r6)
+                w3 = dot_bf16(edges_ref[2, :, sl].T, r6)
+                inside = ((w1 >= 0) & (w2 >= 0) & (w3 >= 0)) | (
+                    (w1 <= 0) & (w2 <= 0) & (w3 <= 0)
+                )
+                den = outer_sum(nd_ref, dirv, sl, 3)
+                num = outer_sum(plane_ref, q4, sl, 4)
+                t = num / jnp.where(den == 0.0, 1.0, den)
+                valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
+                t = jnp.where(valid, t, MAX_DIST)
+                key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
+                kmin = jnp.min(key, axis=0, keepdims=True)  # [1, R]
+                better = kmin < best_key
+                # keys are unique per row (the low 8 bits ARE the row), so
+                # (key == kmin) is an exact one-hot of the in-block winner
+                onehot = (key == jnp.broadcast_to(kmin, key.shape)).astype(
+                    jnp.float32
+                )
+                cand = dot_f32(attrs_ref[:, sl], onehot)  # [8, R]
+                best_attr = jnp.where(
+                    jnp.broadcast_to(better, cand.shape), cand, best_attr
+                )
+                best_key = jnp.where(better, kmin, best_key)
+                return best_key, best_attr
+
+            def body(j, carry):
+                best_key, best_attr = carry
+                if num_tiles == 1:
+                    return intersect_block(j, best_key, best_attr)
+                lo = [blocks_ref[j, k] for k in range(3)]
+                hi = [blocks_ref[j, 3 + k] for k in range(3)]
+                tmin = jnp.full((1, r), -jnp.inf, jnp.float32)
+                tmax = jnp.full((1, r), jnp.inf, jnp.float32)
+                for k in range(3):
+                    t1 = (lo[k] - p[k : k + 1]) * inv_d[k : k + 1]
+                    t2 = (hi[k] - p[k : k + 1]) * inv_d[k : k + 1]
+                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                best_t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
+                live = (tmax >= tmin) & (tmax >= 0.0) & (tmin <= best_t)
+                return lax.cond(
+                    jnp.any(live),
+                    lambda a, b: intersect_block(j, a, b),
+                    lambda a, b: (a, b),
+                    best_key,
+                    best_attr,
+                )
+
+            init = (
+                jnp.full((1, r), _MAXKEY, jnp.int32),
+                jnp.zeros((_N_ATTR, r), jnp.float32),
+            )
+            best_key, best_attr = lax.fori_loop(0, num_tiles, body, init)
+            t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
+            hit = t < MAX_DIST * 0.999
+            return t, hit, best_attr
+
+        # ---- per-sample state (transposed SoA, rays on lanes) ----
+        if use_prng:
+            pltpu.prng_seed(
+                seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527),
+                seed_ref[1],
+            )
+        sun_dir = jnp.concatenate(
+            [jnp.full((1, r), env_ref[k], jnp.float32) for k in range(3)], axis=0
+        )
+        sun_power = env_ref[3]
+
+        p = p_ref[:]  # [3, R] current vertex
+        n = n_ref[:]  # [3, R] unit shading normal
+        mtype = misc_ref[0:1]  # [1, R] material type (f32-coded)
+        rough = misc_ref[1:2]  # [1, R]
+        live = misc_ref[2:3] > 0.5  # [1, R]
+        color = color_ref[:]  # [3, R]
+        in_dir = indir_ref[:]  # [3, R]
+        thr = jnp.ones((3, r), jnp.float32)
+        rad = jnp.zeros((3, r), jnp.float32)
+        esc_thr = jnp.zeros((3, r), jnp.float32)
+        # default escape dir is +z so the caller's IBL lookup is NaN-free
+        esc_dir = jnp.concatenate(
+            [jnp.zeros((2, r), jnp.float32), jnp.ones((1, r), jnp.float32)],
+            axis=0,
+        )
+
+        for bounce_j in range(max_bounce + 1):
+            # terminal: emissive vertex (power in the roughness slot)
+            emis = live & (mtype == _EMISSIVE)
+            rad = rad + _where3(emis, thr * rough, jnp.zeros_like(rad))
+            live = live & ~emis
+
+            # ---- sample the bounce (fused lobes, ops/bsdf.py port) ----
+            if use_prng:
+                u = _u01((2, r))
+                u1, u2 = u[0:1], u[1:2]
+            else:
+                u1 = u_ref[2 * bounce_j : 2 * bounce_j + 1]
+                u2 = u_ref[2 * bounce_j + 1 : 2 * bounce_j + 2]
+            nx, ny, nz = n[0:1], n[1:2], n[2:3]
+            sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+            a = -1.0 / (sign + nz)
+            b = nx * ny * a
+            tg = jnp.concatenate(
+                [1.0 + sign * nx * nx * a, sign * b, -sign * nx], axis=0
+            )
+            bt = jnp.concatenate([b, sign + ny * ny * a, -ny], axis=0)
+            phi = (2.0 * PI) * u2
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+            rr = jnp.sqrt(u1)
+            z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+            d_diff = tg * (rr * cphi) + bt * (rr * sphi) + n * z_cos
+            invpdf_diff = PI / jnp.maximum(z_cos, 1e-6)
+            cos_u = 1.0 - u1
+            sin_u = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_u * cos_u))
+            d_unif = tg * (sin_u * cphi) + bt * (sin_u * sphi) + n * cos_u
+
+            is_glossy = mtype == _GLOSSY
+            is_glass = mtype == _GLASS
+            bdir = _where3(is_glass, in_dir, _where3(is_glossy, d_unif, d_diff))
+
+            cos_abs = jnp.abs(_dot3(bdir, n))
+            # GGX + Schlick + Smith (ops/bsdf.eval_ggx, single division)
+            v = -in_dir
+            h = bdir + v
+            h = h * lax.rsqrt(jnp.maximum(_dot3(h, h), 1e-20))
+            alpha_sqr = rough * rough
+            ndoth = jnp.maximum(_dot3(n, h), 0.0)
+            d_den = jnp.maximum(
+                PI * jnp.square(ndoth * ndoth * (alpha_sqr - 1.0) + 1.0), 1e-12
+            )
+            kk = rough * np.float32(np.sqrt(2.0 / np.pi))
+            ndotv = jnp.maximum(_dot3(n, v), 0.0)
+            ndotl = jnp.maximum(_dot3(n, bdir), 0.0)
+            g1_den = jnp.maximum(ndotv * (1.0 - kk) + kk, 1e-12)
+            g2_den = jnp.maximum(ndotl * (1.0 - kk) + kk, 1e-12)
+            one_m_hv = 1.0 - jnp.maximum(_dot3(h, v), 0.0)
+            p2 = one_m_hv * one_m_hv
+            f = 0.04 + 0.96 * (p2 * p2 * one_m_hv)
+            spec = (f * alpha_sqr * ndotv * ndotl) / (
+                d_den * g1_den * g2_den * jnp.maximum(4.0 * ndotv * ndotl, 1e-3)
+            )
+            brdf_glossy = ((1.0 - f) * 0.5) * color * (1.0 / PI) + spec
+            factor_diff = color * ((1.0 / PI) * invpdf_diff * cos_abs)
+            factor_glossy = brdf_glossy * ((2.0 * PI) * cos_abs)
+            factor = _where3(
+                is_glass, color, _where3(is_glossy, factor_glossy, factor_diff)
+            )
+            thr = _where3(live, thr * factor, thr)
+
+            # ---- bounce segment ----
+            t, hit, attr = trace(p, bdir)
+            miss = live & ~hit
+
+            # escape record: at most one escape per path, env added outside
+            esc_thr = _where3(miss, thr, esc_thr)
+            esc_dir = _where3(miss, bdir, esc_dir)
+
+            if sun_enabled:
+                st, shit, sattr = trace(p, sun_dir)
+                s_mtype = sattr[_A_MT : _A_MT + 1]
+                s_color = sattr[_A_CR : _A_RO]
+                unocc = (~shit) & (mtype != _GLASS)
+                glass_occ = shit & (s_mtype == _GLASS)
+                sun_light = (
+                    unocc.astype(jnp.float32) * sun_power
+                    + glass_occ.astype(jnp.float32) * s_color * sun_power
+                )
+                rad = rad + _where3(miss, thr * sun_light, jnp.zeros_like(rad))
+
+            live = live & hit
+
+            # advance to the new vertex
+            p = _where3(live, p + bdir * t, p)
+            n = _where3(live, attr[_A_NX : _A_NX + 3], n)
+            mtype = jnp.where(live, attr[_A_MT : _A_MT + 1], mtype)
+            color = _where3(live, attr[_A_CR : _A_RO], color)
+            rough = jnp.where(live, attr[_A_RO : _A_RO + 1], rough)
+            in_dir = _where3(live, bdir, in_dir)
+
+        # a path whose last segment landed on a light still contributes
+        final_emis = live & (mtype == _EMISSIVE)
+        rad = rad + _where3(final_emis, thr * rough, jnp.zeros_like(rad))
+
+        rad_ref[:] = rad
+        escthr_ref[:] = esc_thr
+        escdir_ref[:] = esc_dir
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_bounce", "sun_enabled", "interpret")
+)
+def sample_fused(
+    feats: TriFeatures,
+    tri_attrs: jnp.ndarray,
+    primary_p: jnp.ndarray,
+    primary_n: jnp.ndarray,
+    primary_mtype: jnp.ndarray,
+    primary_color: jnp.ndarray,
+    primary_rough: jnp.ndarray,
+    primary_live: jnp.ndarray,
+    in_dir: jnp.ndarray,
+    sun_dir: jnp.ndarray,
+    sun_power: jnp.ndarray,
+    key: jax.Array,
+    *,
+    max_bounce: int,
+    sun_enabled: bool,
+    interpret: bool = False,
+    uniforms: jnp.ndarray | None = None,
+):
+    """One Monte-Carlo sample for ``N`` rays starting at their (cached)
+    primary vertices.  Returns ``(rad [N,3], esc_thr [N,3], esc_dir
+    [N,3])``; total sample radiance = ``rad + esc_thr * env(esc_dir)``.
+
+    ``uniforms [max_bounce + 1, N, 2]`` switches the kernel to the
+    explicit-stream test mode (CPU-interpretable; same stream as the
+    scan estimator's per-sample uniforms).
+    """
+    n_rays = primary_p.shape[0]
+    pad = (-n_rays) % RAY_TILE
+    n_pad = n_rays + pad
+
+    def t3(x):  # [N, 3] -> [3, Np]
+        return jnp.pad(x, ((0, pad), (0, 0))).T
+
+    p = t3(primary_p)
+    nrm = t3(primary_n)
+    col = t3(primary_color)
+    ind = t3(in_dir)
+    misc = jnp.stack(
+        [
+            jnp.pad(primary_mtype.astype(jnp.float32), (0, pad)),
+            jnp.pad(primary_rough, (0, pad)),
+            jnp.pad(primary_live.astype(jnp.float32), (0, pad)),
+        ]
+    )  # [3, Np]
+
+    tp = feats.edges.shape[-1]
+    tri_tile = min(TRI_TILE, tp)
+    num_tiles = tp // tri_tile
+
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    if kd.shape[0] < 2:
+        kd = jnp.concatenate([kd, kd])
+    seeds = lax.bitcast_convert_type(kd[:2], jnp.int32)
+    env_scalars = jnp.concatenate(
+        [
+            jnp.asarray(sun_dir, jnp.float32).reshape(3),
+            jnp.asarray(sun_power, jnp.float32).reshape(1),
+        ]
+    )
+
+    use_prng = uniforms is None
+    kernel = _make_kernel(
+        max_bounce, sun_enabled, tp, num_tiles, tri_tile, use_prng=use_prng
+    )
+
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ray_spec = lambda k: pl.BlockSpec(
+        (k, RAY_TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        full(3, 6, tp),
+        full(4, tp),
+        full(3, tp),
+        full(*feats.block_bounds.shape),
+        full(_N_ATTR, tp),
+        ray_spec(3),
+        ray_spec(3),
+        ray_spec(3),
+        ray_spec(3),
+        ray_spec(3),
+    ]
+    operands = [
+        seeds,
+        env_scalars,
+        feats.edges,
+        feats.plane,
+        feats.normal_d,
+        feats.block_bounds,
+        tri_attrs,
+        p,
+        nrm,
+        misc,
+        col,
+        ind,
+    ]
+    if not use_prng:
+        # [mb+1, N, 2] -> [(mb+1)*2, Np] (u1/u2 interleaved per bounce)
+        u = jnp.pad(uniforms, ((0, 0), (0, pad), (0, 0)))
+        u = u.transpose(0, 2, 1).reshape((max_bounce + 1) * 2, n_pad)
+        in_specs.append(ray_spec((max_bounce + 1) * 2))
+        operands.append(u)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // RAY_TILE,),
+        in_specs=in_specs,
+        out_specs=(ray_spec(3), ray_spec(3), ray_spec(3)),
+    )
+    rad, esc_thr, esc_dir = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return rad.T[:n_rays], esc_thr.T[:n_rays], esc_dir.T[:n_rays]

@@ -36,6 +36,7 @@ def _shard_radiance(
     max_bounce: int,
     sun_enabled: bool,
     ibl_bilinear: bool,
+    fused=None,
 ):
     """Per-shard body: render my row block with my sample subset, then
     average sample sets across the sp axis."""
@@ -57,6 +58,7 @@ def _shard_radiance(
         max_bounce=max_bounce,
         sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear,
+        fused=fused,
     )
     return jax.lax.pmean(rad, SP_AXIS)
 
@@ -75,6 +77,7 @@ def render_radiance_sharded(
     max_bounce: int,
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
+    fused=None,
 ) -> jnp.ndarray:
     """Radiance image ``[height, width, 3]`` rendered over ``mesh``.
 
@@ -102,6 +105,7 @@ def render_radiance_sharded(
         max_bounce=max_bounce,
         sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear,
+        fused=fused,
     )
 
     def shard_body(geom, materials, env, ro, rd, key):

@@ -1,0 +1,91 @@
+"""Fused sample-kernel (ops/fused.py) equivalence vs the scan estimator.
+
+Runs the Pallas kernel in interpreter mode on CPU with an explicit
+uniform stream, so both estimators sample the exact same paths.  The
+engines still differ in the side-test precision (bf16 MXU signs vs f32)
+and the hit distance's low 8 mantissa bits (packed argmin), so a few
+silhouette pixels may pick a different-but-equally-valid hit: the
+comparison is quantile-based, not exact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ensem3a_openclraytracer_tpu.models.pathtracer import (
+    _gather_surface,
+    radiance_for_rays,
+    trace,
+)
+from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
+from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
+from ensem3a_openclraytracer_tpu.ops.fused import build_tri_attrs, sample_fused
+from ensem3a_openclraytracer_tpu.testing import make_cornell_scene, make_outdoor_scene
+
+
+def _fused_radiance(geom, materials, env, ray_o, ray_d, uniforms, *,
+                    max_bounce, sun_enabled):
+    """One-sample radiance via the fused kernel (interpret mode) +
+    outside env/escape accumulation, mirroring the pathtracer wiring."""
+    h = trace(geom, ray_o, ray_d)
+    s = _gather_surface(geom, materials, ray_o, ray_d, h)
+    attrs = build_tri_attrs(
+        geom.n, geom.mat, materials.mtype, materials.color,
+        materials.roughness, geom.feats.edges.shape[-1],
+    )
+    rad, esc_thr, esc_dir = sample_fused(
+        geom.feats, attrs, s.p, s.n, s.mtype, s.color, s.rough, h.hit,
+        ray_d, sun_direction(env.sun_angles_deg), env.sun_power,
+        jax.random.PRNGKey(0), max_bounce=max_bounce,
+        sun_enabled=sun_enabled, interpret=True, uniforms=uniforms,
+    )
+    env_l = sample_ibl(env.ibl, esc_dir) * env.ibl_power
+    primary_miss = jnp.where(
+        h.hit[:, None], 0.0, sample_ibl(env.ibl, ray_d) * env.ibl_power
+    )
+    return rad + esc_thr * env_l + primary_miss
+
+
+@pytest.mark.parametrize("sun_enabled,scene", [(False, "cornell"), (True, "outdoor")])
+def test_fused_matches_scan_same_stream(sun_enabled, scene):
+    if scene == "cornell":
+        geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    else:
+        geom, materials, env, camera = make_outdoor_scene(n_cubes=4, use_bvh=False)
+    res, mb = 24, 3
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, res, res
+    )
+    n = ray_o.shape[0]
+    uniforms = jax.random.uniform(jax.random.PRNGKey(7), (1, mb + 1, n, 2))
+
+    scan = radiance_for_rays(
+        geom, materials, env, ray_o, ray_d, jax.random.PRNGKey(0),
+        spp=1, max_bounce=mb, sun_enabled=sun_enabled, uniforms=uniforms,
+        fused=False,
+    )
+    fused = _fused_radiance(
+        geom, materials, env, ray_o, ray_d, uniforms[0],
+        max_bounce=mb, sun_enabled=sun_enabled,
+    )
+    diff = np.abs(np.asarray(scan) - np.asarray(fused)).max(axis=-1)
+    # silhouette/bf16 edge cases may flip a handful of pixels
+    assert np.quantile(diff, 0.98) < 1e-3, (
+        f"p98 {np.quantile(diff, 0.98)}, max {diff.max()}"
+    )
+    assert np.median(diff) < 1e-5
+    assert np.isfinite(np.asarray(fused)).all()
+
+
+def test_fused_rejects_bad_configs():
+    geom, materials, env, camera = make_cornell_scene(use_bvh=True)
+    geom = geom._replace(feats=None)
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, 8, 8
+    )
+    with pytest.raises(ValueError):
+        radiance_for_rays(
+            geom, materials, env, ray_o, ray_d, jax.random.PRNGKey(0),
+            spp=1, max_bounce=1, sun_enabled=False, fused=True,
+        )
