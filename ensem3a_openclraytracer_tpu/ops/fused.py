@@ -50,7 +50,10 @@ from ensem3a_openclraytracer_tpu.ops.geometry import MAX_DIST, MIN_HIT_DIST
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import TRI_TILE, TriFeatures
 from ensem3a_openclraytracer_tpu.ops.sampling import PI
 
-RAY_TILE = 1024
+# rays per grid step; the in-kernel [3*TT, R] products scale VMEM with
+# tri_tile * ray_tile, so large (multi-block) scenes drop to 1024 lanes
+RAY_TILE = 2048
+RAY_TILE_BIG_SCENE = 1024
 
 # attribute rows in the per-triangle table
 _A_NX, _A_NY, _A_NZ, _A_MT, _A_CR, _A_CG, _A_CB, _A_RO = range(8)
@@ -127,14 +130,16 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             preferred_element_type=jnp.float32,
         )
 
-    def dot_f32(a, b):
-        return lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+    def dot_select(a, b):
+        # one-hot selector contraction: b is exact 0/1 (bf16-exact), so
+        # per-output the sum selects a single a-element.  A two-term
+        # bf16 split of a (hi + residual) recovers ~17 mantissa bits of
+        # the selected value at a third of the 6-pass HIGHEST cost.
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot_bf16(hi, b) + dot_bf16(lo, b)
 
-    def kernel(seed_ref, env_ref, edges_ref, plane_ref, nd_ref, blocks_ref,
+    def kernel(seed_ref, env_ref, ecat_ref, plane_ref, nd_ref, blocks_ref,
                attrs_ref, p_ref, n_ref, misc_ref, color_ref, indir_ref,
                *rest_refs):
         if use_prng:
@@ -165,12 +170,16 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
 
             def intersect_block(j, best_key, best_attr):
                 sl = pl.ds(j * tri_tile, tri_tile)
-                w1 = dot_bf16(edges_ref[0, :, sl].T, r6)
-                w2 = dot_bf16(edges_ref[1, :, sl].T, r6)
-                w3 = dot_bf16(edges_ref[2, :, sl].T, r6)
-                inside = ((w1 >= 0) & (w2 >= 0) & (w3 >= 0)) | (
-                    (w1 <= 0) & (w2 <= 0) & (w3 <= 0)
-                )
+                # one [3*TT, 6] @ [6, R] matmul for all three edge tests
+                # (blocks of ecat are laid out [e_AB | e_BC | e_CA])
+                sl3 = pl.ds(j * 3 * tri_tile, 3 * tri_tile)
+                w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3*TT, R]
+                w1 = w[0:tri_tile]
+                w2 = w[tri_tile : 2 * tri_tile]
+                w3 = w[2 * tri_tile : 3 * tri_tile]
+                wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
+                wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
+                inside = (wmin >= 0) | (wmax <= 0)
                 den = outer_sum(nd_ref, dirv, sl, 3)
                 num = outer_sum(plane_ref, q4, sl, 4)
                 t = num / jnp.where(den == 0.0, 1.0, den)
@@ -184,7 +193,7 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 onehot = (key == jnp.broadcast_to(kmin, key.shape)).astype(
                     jnp.float32
                 )
-                cand = dot_f32(attrs_ref[:, sl], onehot)  # [8, R]
+                cand = dot_select(attrs_ref[:, sl], onehot)  # [8, R]
                 best_attr = jnp.where(
                     jnp.broadcast_to(better, cand.shape), cand, best_attr
                 )
@@ -386,8 +395,10 @@ def sample_fused(
     explicit-stream test mode (CPU-interpretable; same stream as the
     scan estimator's per-sample uniforms).
     """
+    tp0 = feats.edges.shape[-1]
+    ray_tile = RAY_TILE if min(TRI_TILE, tp0) <= 64 else RAY_TILE_BIG_SCENE
     n_rays = primary_p.shape[0]
-    pad = (-n_rays) % RAY_TILE
+    pad = (-n_rays) % ray_tile
     n_pad = n_rays + pad
 
     def t3(x):  # [N, 3] -> [3, Np]
@@ -429,10 +440,18 @@ def sample_fused(
         shape, lambda i, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     ray_spec = lambda k: pl.BlockSpec(
-        (k, RAY_TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        (k, ray_tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM
     )
+    # block-interleaved edge features: block j's columns are
+    # [e_AB | e_BC | e_CA], so one matmul covers all three side tests
+    ecat = (
+        feats.edges.reshape(3, 6, num_tiles, tri_tile)
+        .transpose(1, 2, 0, 3)
+        .reshape(6, num_tiles * 3 * tri_tile)
+    )
+
     in_specs = [
-        full(3, 6, tp),
+        full(6, 3 * tp),
         full(4, tp),
         full(3, tp),
         full(*feats.block_bounds.shape),
@@ -446,7 +465,7 @@ def sample_fused(
     operands = [
         seeds,
         env_scalars,
-        feats.edges,
+        ecat,
         feats.plane,
         feats.normal_d,
         feats.block_bounds,
@@ -465,7 +484,7 @@ def sample_fused(
         operands.append(u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_pad // RAY_TILE,),
+        grid=(n_pad // ray_tile,),
         in_specs=in_specs,
         out_specs=(ray_spec(3), ray_spec(3), ray_spec(3)),
     )
