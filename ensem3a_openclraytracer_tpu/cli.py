@@ -48,9 +48,7 @@ def cmd_render(args) -> int:
     lights = None
     nee = bool(getattr(args, "nee", False))
     if nee:
-        from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
-
-        lights = build_light_pack(sc.geometry, sc.material_params())
+        lights = sc.light_pack()
         if lights is None:
             print("warning: --nee requested but scene has no emissive faces; disabled")
             nee = False

@@ -479,9 +479,7 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
     sun_enabled = bool(float(env.sun_power) != 0.0)
     lights = None
     if nee:
-        from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
-
-        lights = build_light_pack(scene.geometry, materials)
+        lights = scene.light_pack(materials)
         nee = lights is not None
     radiance = render_radiance_jit(
         scene.geometry,

@@ -45,8 +45,8 @@ def _shard_radiance(
     shard_key = jax.random.fold_in(jax.random.fold_in(key, dp_idx), sp_idx)
     # each sp shard draws different randoms, so every downstream value is
     # varying over sp; mark the rays up-front so scan/while carries unify
-    ray_o = jax.lax.pvary(ray_o, (SP_AXIS,))
-    ray_d = jax.lax.pvary(ray_d, (SP_AXIS,))
+    ray_o = jax.lax.pcast(ray_o, (SP_AXIS,), to="varying")
+    ray_d = jax.lax.pcast(ray_d, (SP_AXIS,), to="varying")
     rad = radiance_for_rays(
         geom,
         materials,

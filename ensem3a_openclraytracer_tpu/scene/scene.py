@@ -50,19 +50,35 @@ class LightPack(NamedTuple):
     area: jnp.ndarray  # [L]
 
 
-def build_light_pack(geom: "GeometryPack", materials) -> Optional[LightPack]:
+def build_light_pack(
+    geom: Optional["GeometryPack"],
+    materials,
+    host_arrays: Optional[tuple] = None,
+) -> Optional[LightPack]:
     """Collect emissive faces (material type 0) from a packed geometry.
-    Returns None when the scene has no lights."""
-    mat_ids = np.asarray(geom.mat)
+    Returns None when the scene has no lights.
+
+    ``host_arrays = (v0, v1, v2, mat)`` (numpy, Morton order) avoids the
+    device->host fetches of ``np.asarray(geom.*)`` - prefer
+    :meth:`Scene.light_pack`, which supplies them from the mesh (a D2H
+    fetch over a tunneled backend costs seconds)."""
+    if host_arrays is not None:
+        h_v0, h_v1, h_v2, mat_ids = host_arrays
+        mat_ids = np.asarray(mat_ids, np.int32)
+    else:
+        mat_ids = np.asarray(geom.mat)
     mtype = np.asarray(materials.mtype)
     power = np.asarray(materials.roughness)
     emissive = mtype[np.clip(mat_ids, 0, mtype.shape[0] - 1)] == 0
     idx = np.nonzero(emissive)[0]
     if idx.size == 0:
         return None
-    v0 = np.asarray(geom.v0)[idx]
-    v1 = np.asarray(geom.v1)[idx]
-    v2 = np.asarray(geom.v2)[idx]
+    if host_arrays is not None:
+        v0, v1, v2 = h_v0[idx], h_v1[idx], h_v2[idx]
+    else:
+        v0 = np.asarray(geom.v0)[idx]
+        v1 = np.asarray(geom.v1)[idx]
+        v2 = np.asarray(geom.v2)[idx]
     nrm = np.cross(v1 - v0, v2 - v0)
     area = 0.5 * np.linalg.norm(nrm, axis=-1)
     nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
@@ -188,8 +204,15 @@ class Scene:
             geom = pack_geometry(mesh, use_bvh=use_bvh)
         else:
             geom = geometry
-        # light list in the packed (Morton-ordered) face space
-        mat_ids = np.asarray(geom.mat)
+        # light list in the packed (Morton-ordered) face space - derived
+        # host-side from the mesh (np.asarray(geom.mat) would D2H-fetch
+        # the just-uploaded device array; over a tunneled backend that
+        # single fetch dominated scene load by tens of seconds)
+        fd = mesh.face_data
+        order = morton_order(
+            mesh.v_p[fd[:, 7]], mesh.v_p[fd[:, 8]], mesh.v_p[fd[:, 9]]
+        )
+        mat_ids = fd[:, 0].astype(np.int32)[order]
         emissive = table[np.clip(mat_ids, 0, table.shape[0] - 1), 0] == 0
         light_faces = np.nonzero(emissive)[0].astype(np.int32)
         return Scene(
@@ -223,6 +246,19 @@ class Scene:
     def camera_params(self) -> CameraParams:
         cam = self.config.camera_settings()
         return CameraParams.create(cam.position, cam.rotation_deg, cam.fov_deg)
+
+    def light_pack(self, materials: Optional[MaterialParams] = None) -> Optional[LightPack]:
+        """Emissive-face table for NEE, built from the host mesh (no
+        device->host fetches)."""
+        if materials is None:
+            materials = self.material_params()
+        fd = self.mesh.face_data
+        v0 = self.mesh.v_p[fd[:, 7]]
+        v1 = self.mesh.v_p[fd[:, 8]]
+        v2 = self.mesh.v_p[fd[:, 9]]
+        order = morton_order(v0, v1, v2)
+        host = (v0[order], v1[order], v2[order], fd[:, 0].astype(np.int32)[order])
+        return build_light_pack(None, materials, host_arrays=host)
 
     def reload_materials(self) -> None:
         """Re-read the material table from the config file (material-edit
