@@ -211,17 +211,37 @@ def radiance_for_rays(
         )
         sun_dir_v = sun_direction(env.sun_angles_deg)
 
+        # Multi-block scenes: permute rays by primary-hit Morton order so
+        # each kernel ray tile is spatially local and the per-block AABB
+        # culling bites.  Primary hits are cached across samples - one
+        # sort serves the whole render; the radiance is unsorted at the
+        # end.  Single-block scenes skip the shuffle (nothing to cull).
+        multi_block = geom.feats.block_bounds.shape[0] > 1
+        if multi_block:
+            order = fused_ops.morton_order_points(
+                jnp.where(primary_hit.hit[:, None], primary_surf.p, ray_o)
+            )
+        else:
+            order = None
+
+        def pick(x):
+            return x[order] if order is not None else x
+
+        f_surf = _Surface(*(pick(x) for x in primary_surf))
+        f_hit = pick(primary_hit.hit)
+        f_dir = pick(ray_d)
+
         def fused_spp_step(acc, k):
             rad, esc_thr, esc_dir = fused_ops.sample_fused(
                 geom.feats,
                 tri_attrs,
-                primary_surf.p,
-                primary_surf.n,
-                primary_surf.mtype,
-                primary_surf.color,
-                primary_surf.rough,
-                primary_hit.hit,
-                ray_d,
+                f_surf.p,
+                f_surf.n,
+                f_surf.mtype,
+                f_surf.color,
+                f_surf.rough,
+                f_hit,
+                f_dir,
                 sun_dir_v,
                 env.sun_power,
                 k,
@@ -233,6 +253,8 @@ def radiance_for_rays(
         acc, _ = jax.lax.scan(
             fused_spp_step, jnp.zeros_like(ray_d), jax.random.split(key, spp)
         )
+        if order is not None:
+            acc = jnp.zeros_like(acc).at[order].set(acc)
         return acc / spp + primary_miss_rad
 
     n_lights = 0 if lights is None else lights.v0.shape[0]

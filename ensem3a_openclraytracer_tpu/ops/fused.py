@@ -139,14 +139,19 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return dot_bf16(hi, b) + dot_bf16(lo, b)
 
-    def kernel(seed_ref, env_ref, ecat_ref, plane_ref, nd_ref, blocks_ref,
-               attrs_ref, p_ref, n_ref, misc_ref, color_ref, indir_ref,
-               *rest_refs):
-        if use_prng:
-            u_ref = None
-            rad_ref, escthr_ref, escdir_ref = rest_refs
-        else:
-            u_ref, rad_ref, escthr_ref, escdir_ref = rest_refs
+    def kernel(*refs):
+        refs = list(refs)
+        seed_ref = refs.pop(0)
+        env_ref = refs.pop(0)
+        # per-tile block visit order lives in SMEM (scalar prefetch):
+        # it is read one scalar at a time at a dynamic index, which VMEM
+        # vector loads cannot do on the lane axis
+        perm_ref = refs.pop(0) if num_tiles > 1 else None
+        (ecat_ref, plane_ref, nd_ref, blocks_ref, attrs_ref,
+         p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:10]
+        rest = refs[10:]
+        u_ref = None if use_prng else rest.pop(0)
+        rad_ref, escthr_ref, escdir_ref = rest
         r = p_ref.shape[-1]
         row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
 
@@ -169,10 +174,14 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             inv_d = 1.0 / d_safe
 
             def intersect_block(j, best_key, best_attr):
-                sl = pl.ds(j * tri_tile, tri_tile)
+                # multiple_of: j may come from a VMEM permutation load,
+                # whose divisibility Mosaic can't derive on its own
+                sl = pl.ds(pl.multiple_of(j * tri_tile, 128), tri_tile)
                 # one [3*TT, 6] @ [6, R] matmul for all three edge tests
                 # (blocks of ecat are laid out [e_AB | e_BC | e_CA])
-                sl3 = pl.ds(j * 3 * tri_tile, 3 * tri_tile)
+                sl3 = pl.ds(
+                    pl.multiple_of(j * 3 * tri_tile, 128), 3 * tri_tile
+                )
                 w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3*TT, R]
                 w1 = w[0:tri_tile]
                 w2 = w[tri_tile : 2 * tri_tile]
@@ -200,10 +209,14 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 best_key = jnp.where(better, kmin, best_key)
                 return best_key, best_attr
 
-            def body(j, carry):
+            def body(jj, carry):
                 best_key, best_attr = carry
                 if num_tiles == 1:
-                    return intersect_block(j, best_key, best_attr)
+                    return intersect_block(jj, best_key, best_attr)
+                # front-to-back: visit blocks by distance from the tile's
+                # origin centroid (perm precomputed outside) so near hits
+                # shrink best_t early and the tmin prune kills far blocks
+                j = perm_ref[pl.program_id(0), jj]
                 lo = [blocks_ref[j, k] for k in range(3)]
                 hi = [blocks_ref[j, 3 + k] for k in range(3)]
                 tmin = jnp.full((1, r), -jnp.inf, jnp.float32)
@@ -476,6 +489,22 @@ def sample_fused(
         col,
         ind,
     ]
+    if num_tiles > 1:
+        # per-tile front-to-back block visit order: distance from the
+        # tile's mean origin to each block centroid, ascending.  One
+        # [n_tiles, B] argsort per call (loop-invariant across samples -
+        # XLA hoists it out of the spp scan).
+        n_tiles_rays = n_pad // ray_tile
+        tile_c = p.reshape(3, n_tiles_rays, ray_tile).mean(axis=2).T  # [G, 3]
+        block_c = 0.5 * (
+            feats.block_bounds[:, :3] + feats.block_bounds[:, 3:6]
+        )  # [B, 3]
+        dist = jnp.sum(
+            jnp.square(tile_c[:, None, :] - block_c[None, :, :]), axis=-1
+        )  # [G, B]
+        perm = jnp.argsort(dist, axis=1).astype(jnp.int32)
+        # scalar-prefetch operand: insert after (seeds, env_scalars)
+        operands.insert(2, perm)
     if not use_prng:
         # [mb+1, N, 2] -> [(mb+1)*2, Np] (u1/u2 interleaved per bounce)
         u = jnp.pad(uniforms, ((0, 0), (0, pad), (0, 0)))
@@ -483,7 +512,7 @@ def sample_fused(
         in_specs.append(ray_spec((max_bounce + 1) * 2))
         operands.append(u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if num_tiles > 1 else 2,
         grid=(n_pad // ray_tile,),
         in_specs=in_specs,
         out_specs=(ray_spec(3), ray_spec(3), ray_spec(3)),
@@ -499,3 +528,37 @@ def sample_fused(
         interpret=interpret,
     )(*operands)
     return rad.T[:n_rays], esc_thr.T[:n_rays], esc_dir.T[:n_rays]
+
+
+# ---------------------------------------------------------------------------
+# Spatial ray ordering: tiles of spatially-local rays make the kernel's
+# per-block AABB culling effective for multi-block scenes.
+# ---------------------------------------------------------------------------
+
+
+def _expand_bits_10_jnp(v):
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def morton_order_points(p: jnp.ndarray) -> jnp.ndarray:
+    """Argsort of ``[N, 3]`` points by 30-bit Morton code (device-side
+    mirror of accel.lbvh.morton_codes).  Used to permute rays so that
+    consecutive kernel lanes start at nearby scene positions: the
+    fused kernel's ray tiles then share tight frusta and skip most
+    triangle blocks.  Primary hits are cached across samples, so one
+    sort serves the whole render."""
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 0.9999999)
+    g = (q * 1024.0).astype(jnp.uint32)
+    code = (
+        (_expand_bits_10_jnp(g[:, 0]) << 2)
+        | (_expand_bits_10_jnp(g[:, 1]) << 1)
+        | _expand_bits_10_jnp(g[:, 2])
+    )
+    return jnp.argsort(code)
