@@ -147,19 +147,13 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         # it is read one scalar at a time at a dynamic index, which VMEM
         # vector loads cannot do on the lane axis
         perm_ref = refs.pop(0) if num_tiles > 1 else None
-        (ecat_ref, plane_ref, nd_ref, blocks_ref, attrs_ref,
-         p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:10]
-        rest = refs[10:]
+        (ecat_ref, pnd_ref, blocks_ref, attrs_ref,
+         p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:9]
+        rest = refs[9:]
         u_ref = None if use_prng else rest.pop(0)
         rad_ref, escthr_ref, escdir_ref = rest
         r = p_ref.shape[-1]
         row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
-
-        def outer_sum(rows, cols, sl, k):
-            acc = rows[0, sl][:, None] * cols[0][None, :]
-            for i in range(1, k):
-                acc = acc + rows[i, sl][:, None] * cols[i][None, :]
-            return acc
 
         def trace(p, dirv):
             """Closest hit of [3, R] rays; returns (t [1,R], hit [1,R],
@@ -172,6 +166,18 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 jnp.abs(dirv) < tiny, jnp.where(dirv < 0, -tiny, tiny), dirv
             )
             inv_d = 1.0 / d_safe
+            # split-bf16 right operand for the fused num/den matmul: the
+            # DEFAULT-precision dot truncates f32 inputs to bf16, so the
+            # explicit residual rows recover the next 8 mantissa bits
+            # (3-term split: hi*hi + hi*lo + lo*hi ~ 2^-16 relative, the
+            # same order as the packed-key low-byte stomp)
+            q_hi = q4.astype(jnp.bfloat16).astype(jnp.float32)
+            q_lo = q4 - q_hi
+            d_hi = dirv.astype(jnp.bfloat16).astype(jnp.float32)
+            d_lo = dirv - d_hi
+            nd_rhs = jnp.concatenate(
+                [q_hi, q_lo, q_hi, d_hi, d_lo, d_hi], axis=0
+            )  # [21, R]
 
             def intersect_block(j, best_key, best_attr):
                 # multiple_of: j may come from a VMEM permutation load,
@@ -189,8 +195,17 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
                 wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
                 inside = (wmin >= 0) | (wmax <= 0)
-                den = outer_sum(nd_ref, dirv, sl, 3)
-                num = outer_sum(plane_ref, q4, sl, 4)
+                # num (plane . [o,1]) and den (n . d) in ONE MXU matmul:
+                # block j of pnd holds [A_num | A_den] columns (split-bf16
+                # plane/normal rows, see sample_fused), so the [2*TT, 21]
+                # @ [21, R] product stacks num over den - this replaces
+                # ~576 VPU flops/ray of outer-product accumulation
+                slnd = pl.ds(
+                    pl.multiple_of(j * 2 * tri_tile, 128), 2 * tri_tile
+                )
+                nd_out = dot_bf16(pnd_ref[:, slnd].T, nd_rhs)  # [2*TT, R]
+                num = nd_out[:tri_tile]
+                den = nd_out[tri_tile:]
                 t = num / jnp.where(den == 0.0, 1.0, den)
                 valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
                 t = jnp.where(valid, t, MAX_DIST)
@@ -462,11 +477,35 @@ def sample_fused(
         .transpose(1, 2, 0, 3)
         .reshape(6, num_tiles * 3 * tri_tile)
     )
+    # fused num/den matmul operand [21, 2*Tp]: block j's columns are
+    # [A_num (TT) | A_den (TT)].  A_num rows pair with the kernel's rhs
+    # rows [q_hi, q_lo, q_hi]: (plane_hi, plane_hi, plane_lo); A_den rows
+    # pair with [d_hi, d_lo, d_hi]: (n_hi, n_hi, n_lo).  The 3-term
+    # split-bf16 product recovers ~2^-16 relative accuracy for the
+    # hit-distance numerator/denominator on the bf16 MXU path.
+    def _split(x):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return hi, x - hi
+
+    p_hi, p_lo = _split(feats.plane)  # [4, Tp]
+    n_hi, n_lo = _split(feats.normal_d)  # [3, Tp]
+    a_num = jnp.concatenate(
+        [p_hi, p_hi, p_lo, jnp.zeros((9, tp), jnp.float32)], axis=0
+    )  # [21, Tp]
+    a_den = jnp.concatenate(
+        [jnp.zeros((12, tp), jnp.float32), n_hi, n_hi, n_lo], axis=0
+    )  # [21, Tp]
+    pnd = jnp.concatenate(
+        [
+            a_num.reshape(21, num_tiles, tri_tile),
+            a_den.reshape(21, num_tiles, tri_tile),
+        ],
+        axis=2,
+    ).reshape(21, 2 * tp)
 
     in_specs = [
         full(6, 3 * tp),
-        full(4, tp),
-        full(3, tp),
+        full(21, 2 * tp),
         full(*feats.block_bounds.shape),
         full(_N_ATTR, tp),
         ray_spec(3),
@@ -479,8 +518,7 @@ def sample_fused(
         seeds,
         env_scalars,
         ecat,
-        feats.plane,
-        feats.normal_d,
+        pnd,
         feats.block_bounds,
         tri_attrs,
         p,
