@@ -135,9 +135,14 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         # per-output the sum selects a single a-element.  A two-term
         # bf16 split of a (hi + residual) recovers ~17 mantissa bits of
         # the selected value at a third of the 6-pass HIGHEST cost.
+        # hi and lo are stacked into ONE [2*rows, TT] matmul: both row
+        # counts live inside a single 128-row MXU tile, so the stacked
+        # product costs one pass where hi/lo separately cost two.
+        rows = a.shape[0]
         hi = a.astype(jnp.bfloat16)
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return dot_bf16(hi, b) + dot_bf16(lo, b)
+        both = dot_bf16(jnp.concatenate([hi, lo], axis=0), b)
+        return both[:rows] + both[rows:]
 
     def kernel(*refs):
         refs = list(refs)
