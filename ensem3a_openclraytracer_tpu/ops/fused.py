@@ -114,7 +114,7 @@ _MAXKEY = np.int32(
 
 
 def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
-                 tri_tile: int, use_prng: bool = True):
+                 tri_tile: int, use_prng: bool = True, merged: bool = False):
     """Build the fused kernel for static (max_bounce, sun, scene-size).
 
     ``use_prng=False`` swaps the in-kernel PRNG for an explicit uniform
@@ -152,13 +152,25 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         # it is read one scalar at a time at a dynamic index, which VMEM
         # vector loads cannot do on the lane axis
         perm_ref = refs.pop(0) if num_tiles > 1 else None
-        (ecat_ref, pnd_ref, blocks_ref, attrs_ref,
-         p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:9]
-        rest = refs[9:]
+        if merged:
+            # single [27, 5*TT] operand: edge rows + num/den rows packed
+            # into one sub-128-row MXU tile (tiny scenes: one matmul per
+            # block instead of two)
+            (comb_ref, blocks_ref, attrs_ref,
+             p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:8]
+            ecat_ref = pnd_ref = None
+            rest = refs[8:]
+        else:
+            (ecat_ref, pnd_ref, blocks_ref, attrs_ref,
+             p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:9]
+            rest = refs[9:]
         u_ref = None if use_prng else rest.pop(0)
         rad_ref, escthr_ref, escdir_ref = rest
         r = p_ref.shape[-1]
         row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
+        # hoisted: program_id inside a rolled lax loop body would be
+        # closure-lifted into a pallas_call constant, which cannot lower
+        pid = pl.program_id(0)
 
         def trace(p, dirv):
             """Closest hit of [3, R] rays; returns (t [1,R], hit [1,R],
@@ -188,29 +200,45 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 # multiple_of: j may come from a VMEM permutation load,
                 # whose divisibility Mosaic can't derive on its own
                 sl = pl.ds(pl.multiple_of(j * tri_tile, 128), tri_tile)
-                # one [3*TT, 6] @ [6, R] matmul for all three edge tests
-                # (blocks of ecat are laid out [e_AB | e_BC | e_CA])
-                sl3 = pl.ds(
-                    pl.multiple_of(j * 3 * tri_tile, 128), 3 * tri_tile
-                )
-                w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3*TT, R]
-                w1 = w[0:tri_tile]
-                w2 = w[tri_tile : 2 * tri_tile]
-                w3 = w[2 * tri_tile : 3 * tri_tile]
+                if merged:
+                    # tiny scene: ONE [5*TT, 27] @ [27, R] matmul covers
+                    # the three edge tests AND num/den (operand layout
+                    # [e_AB | e_BC | e_CA | A_num | A_den], see
+                    # sample_fused) - the separate matmuls each waste a
+                    # mostly-empty 128-row MXU tile when 5*TT <= 128
+                    rhs27 = jnp.concatenate([r6, nd_rhs], axis=0)
+                    out = dot_bf16(comb_ref[:].T, rhs27)  # [5*TT, R]
+                    w1 = out[0:tri_tile]
+                    w2 = out[tri_tile : 2 * tri_tile]
+                    w3 = out[2 * tri_tile : 3 * tri_tile]
+                    num = out[3 * tri_tile : 4 * tri_tile]
+                    den = out[4 * tri_tile : 5 * tri_tile]
+                else:
+                    # one [3*TT, 6] @ [6, R] matmul for all three edge
+                    # tests (blocks of ecat are laid out [e_AB|e_BC|e_CA])
+                    sl3 = pl.ds(
+                        pl.multiple_of(j * 3 * tri_tile, 128), 3 * tri_tile
+                    )
+                    w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3*TT, R]
+                    w1 = w[0:tri_tile]
+                    w2 = w[tri_tile : 2 * tri_tile]
+                    w3 = w[2 * tri_tile : 3 * tri_tile]
                 wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
                 wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
                 inside = (wmin >= 0) | (wmax <= 0)
-                # num (plane . [o,1]) and den (n . d) in ONE MXU matmul:
-                # block j of pnd holds [A_num | A_den] columns (split-bf16
-                # plane/normal rows, see sample_fused), so the [2*TT, 21]
-                # @ [21, R] product stacks num over den - this replaces
-                # ~576 VPU flops/ray of outer-product accumulation
-                slnd = pl.ds(
-                    pl.multiple_of(j * 2 * tri_tile, 128), 2 * tri_tile
-                )
-                nd_out = dot_bf16(pnd_ref[:, slnd].T, nd_rhs)  # [2*TT, R]
-                num = nd_out[:tri_tile]
-                den = nd_out[tri_tile:]
+                if not merged:
+                    # num (plane . [o,1]) and den (n . d) in ONE MXU
+                    # matmul: block j of pnd holds [A_num | A_den] columns
+                    # (split-bf16 plane/normal rows, see sample_fused), so
+                    # the [2*TT, 21] @ [21, R] product stacks num over den
+                    # - this replaces ~576 VPU flops/ray of outer-product
+                    # accumulation
+                    slnd = pl.ds(
+                        pl.multiple_of(j * 2 * tri_tile, 128), 2 * tri_tile
+                    )
+                    nd_out = dot_bf16(pnd_ref[:, slnd].T, nd_rhs)  # [2*TT, R]
+                    num = nd_out[:tri_tile]
+                    den = nd_out[tri_tile:]
                 t = num / jnp.where(den == 0.0, 1.0, den)
                 valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
                 t = jnp.where(valid, t, MAX_DIST)
@@ -236,7 +264,7 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 # front-to-back: visit blocks by distance from the tile's
                 # origin centroid (perm precomputed outside) so near hits
                 # shrink best_t early and the tmin prune kills far blocks
-                j = perm_ref[pl.program_id(0), jj]
+                j = perm_ref[pid, jj]
                 lo = [blocks_ref[j, k] for k in range(3)]
                 hi = [blocks_ref[j, 3 + k] for k in range(3)]
                 tmin = jnp.full((1, r), -jnp.inf, jnp.float32)
@@ -283,16 +311,26 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         live = misc_ref[2:3] > 0.5  # [1, R]
         color = color_ref[:]  # [3, R]
         in_dir = indir_ref[:]  # [3, R]
-        thr = jnp.ones((3, r), jnp.float32)
-        rad = jnp.zeros((3, r), jnp.float32)
-        esc_thr = jnp.zeros((3, r), jnp.float32)
+        # initializers derived from p (not pure splats): a splat constant
+        # gets a replicated Mosaic layout, which cannot serve as the carry
+        # slot of the rolled bounce fori_loop (the body produces tiled
+        # layouts - "Invalid relayout ... replicated in destination")
+        zero3 = p * 0.0
+        thr = zero3 + 1.0
+        rad = zero3
+        esc_thr = zero3
         # default escape dir is +z so the caller's IBL lookup is NaN-free
-        esc_dir = jnp.concatenate(
+        esc_dir = zero3 + jnp.concatenate(
             [jnp.zeros((2, r), jnp.float32), jnp.ones((1, r), jnp.float32)],
             axis=0,
         )
 
-        for bounce_j in range(max_bounce + 1):
+        def bounce_body(bounce_j, state):
+            (p, n, mtype, rough, live_f, color, in_dir,
+             thr, rad, esc_thr, esc_dir) = state
+            # the live mask crosses the rolled-loop carry as f32: Mosaic
+            # cannot legalize scf.for with i1-vector carries
+            live = live_f > 0.5
             # terminal: emissive vertex (power in the roughness slot)
             emis = live & (mtype == _EMISSIVE)
             rad = rad + _where3(emis, thr * rough, jnp.zeros_like(rad))
@@ -303,8 +341,8 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 u = _u01((2, r))
                 u1, u2 = u[0:1], u[1:2]
             else:
-                u1 = u_ref[2 * bounce_j : 2 * bounce_j + 1]
-                u2 = u_ref[2 * bounce_j + 1 : 2 * bounce_j + 2]
+                u = u_ref[pl.ds(2 * bounce_j, 2)]
+                u1, u2 = u[0:1], u[1:2]
             nx, ny, nz = n[0:1], n[1:2], n[2:3]
             sign = jnp.where(nz >= 0.0, 1.0, -1.0)
             a = -1.0 / (sign + nz)
@@ -386,9 +424,25 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             color = _where3(live, attr[_A_CR : _A_RO], color)
             rough = jnp.where(live, attr[_A_RO : _A_RO + 1], rough)
             in_dir = _where3(live, bdir, in_dir)
+            return (p, n, mtype, rough, live.astype(jnp.float32), color,
+                    in_dir, thr, rad, esc_thr, esc_dir)
+
+        state = (p, n, mtype, rough, live.astype(jnp.float32), color,
+                 in_dir, thr, rad, esc_thr, esc_dir)
+        if num_tiles > 1:
+            # big scenes: rolled bounce loop - the per-bounce body embeds
+            # a num_tiles-iteration traversal loop, and unrolling it
+            # max_bounce+1 times multiplies Mosaic compile time (~14 min
+            # for the 15.7k-tri Monkey scene unrolled)
+            state = lax.fori_loop(0, max_bounce + 1, bounce_body, state)
+        else:
+            for bounce_j in range(max_bounce + 1):
+                state = bounce_body(bounce_j, state)
+        (p, n, mtype, rough, live_f, color, in_dir,
+         thr, rad, esc_thr, esc_dir) = state
 
         # a path whose last segment landed on a light still contributes
-        final_emis = live & (mtype == _EMISSIVE)
+        final_emis = (live_f > 0.5) & (mtype == _EMISSIVE)
         rad = rad + _where3(final_emis, thr * rough, jnp.zeros_like(rad))
 
         rad_ref[:] = rad
@@ -465,8 +519,13 @@ def sample_fused(
     )
 
     use_prng = uniforms is None
+    # tiny scenes: edges (3*TT rows) and num/den (2*TT rows) each occupy
+    # a mostly-empty 128-row MXU tile; when all 5*TT rows fit in one tile
+    # a single merged matmul per block saves a third of the MXU passes
+    merged = num_tiles == 1 and 5 * tri_tile <= 128
     kernel = _make_kernel(
-        max_bounce, sun_enabled, tp, num_tiles, tri_tile, use_prng=use_prng
+        max_bounce, sun_enabled, tp, num_tiles, tri_tile,
+        use_prng=use_prng, merged=merged,
     )
 
     full = lambda *shape: pl.BlockSpec(
@@ -508,9 +567,19 @@ def sample_fused(
         axis=2,
     ).reshape(21, 2 * tp)
 
-    in_specs = [
-        full(6, 3 * tp),
-        full(21, 2 * tp),
+    if merged:
+        # [27, 5*TT]: rows 0-5 (ray r6 side) carry the edge columns, rows
+        # 6-26 (nd_rhs side) carry the num/den columns - zero elsewhere so
+        # the single matmul computes exactly the two separate products
+        comb = jnp.zeros((27, 5 * tp), jnp.float32)
+        comb = comb.at[0:6, 0 : 3 * tp].set(ecat)
+        comb = comb.at[6:27, 3 * tp : 5 * tp].set(pnd)
+        geom_specs = [full(27, 5 * tp)]
+        geom_ops = [comb]
+    else:
+        geom_specs = [full(6, 3 * tp), full(21, 2 * tp)]
+        geom_ops = [ecat, pnd]
+    in_specs = geom_specs + [
         full(*feats.block_bounds.shape),
         full(_N_ATTR, tp),
         ray_spec(3),
@@ -519,11 +588,7 @@ def sample_fused(
         ray_spec(3),
         ray_spec(3),
     ]
-    operands = [
-        seeds,
-        env_scalars,
-        ecat,
-        pnd,
+    operands = [seeds, env_scalars] + geom_ops + [
         feats.block_bounds,
         tri_attrs,
         p,

@@ -47,10 +47,21 @@ def _fused_radiance(geom, materials, env, ray_o, ray_d, uniforms, *,
     return rad + esc_thr * env_l + primary_miss
 
 
-@pytest.mark.parametrize("sun_enabled,scene", [(False, "cornell"), (True, "outdoor")])
+@pytest.mark.parametrize(
+    "sun_enabled,scene",
+    [
+        (False, "cornell"),
+        (True, "outdoor"),
+        # >128 tris -> multi-block kernel: rolled bounce loop, per-block
+        # AABB culling, scalar-prefetched front-to-back visit order
+        (True, "outdoor_multiblock"),
+    ],
+)
 def test_fused_matches_scan_same_stream(sun_enabled, scene):
     if scene == "cornell":
         geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    elif scene == "outdoor_multiblock":
+        geom, materials, env, camera = make_outdoor_scene(n_cubes=24, use_bvh=False)
     else:
         geom, materials, env, camera = make_outdoor_scene(n_cubes=4, use_bvh=False)
     res, mb = 24, 3
