@@ -1,24 +1,35 @@
-"""Headline benchmark: forward path-tracing throughput in Mrays/s.
+"""Driver benchmark: forward + forward/backward throughput and gradient
+accuracy, on the procedural Cornell and the reference's four canonical
+scene files (BASELINE.md workload table).
 
-Workload mirrors the reference's canonical Cornell-box run (512^2, 100
-spp, 4 bounces - /root/reference/ObjFiles/Cornell box.ini) on the
-procedural Cornell scene with BVH traversal.  Ray accounting follows
-BASELINE.md: rays = res^2 * spp * (bounce rays) + res^2 primaries (+ sun
-shadow rays when the sun is enabled; disabled here, interior scene).
+Prints one JSON line per metric, headline FIRST (the driver parses the
+first line):
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  cornell_forward_mrays_per_s      fused engine, 512^2/100spp/4b, sun off
+  cornell_fwdbwd_mrays_per_s       value+grad of an image MSE through the
+                                   differentiable estimator, same workload
+  cornell_pixel_grad_max_abs_err   d(image)/d(sun_power) pixel-gradient
+                                   image vs the torch CPU autodiff oracle
+  ref_cornell_forward_mrays_per_s  Cornell box.obj   512^2/100spp/4b (sun on)
+  ref_monkey_forward_mrays_per_s   Cornell box_Monkey.obj 256^2/100spp/4b
+  ref_furnace_forward_mrays_per_s  FurnaceHD.obj     512^2/1000spp/4b
+  ref_serre_forward_mrays_per_s    Serre_leger.obj  1024^2/100spp/4b
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-baseline is this repo's own first recorded TPU run (BENCH_r1); until one
-exists we report 1.0.
+Ray accounting (BASELINE.md): every sample traces ``max_bounce + 1``
+bounce segments (live-masking: the hardware does the full batch) plus,
+when the sun is on, one shadow segment per bounce; primaries are cached
+once per pixel.  ``vs_baseline`` compares against this repo's first
+recorded TPU number for that metric (the reference publishes none).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 # Keep the door open for CPU smoke runs: `python bench.py --cpu`
@@ -26,73 +37,267 @@ if "--cpu" in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+import jax.numpy as jnp
 
 if "--cpu" in sys.argv:
     # the TPU plugin force-sets jax_platforms at registration; override back
     jax.config.update("jax_platforms", "cpu")
 
-RES = 512 if "--cpu" not in sys.argv else 64
-SPP = 100 if "--cpu" not in sys.argv else 4
-MAX_BOUNCE = 4
-# First recorded single-chip number (BENCH_r1 when available).
-BASELINE_MRAYS = None
+# Persistent compilation cache: the bench compiles ~8 programs; over the
+# tunneled backend each costs minutes cold but milliseconds cached.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+CPU_SMOKE = "--cpu" in sys.argv
+
+# First recorded single-chip numbers (BENCH_r01 / round-2 runs); a
+# metric with no recorded baseline reports vs_baseline = 1.0.
+BASELINES = {
+    "cornell_forward_mrays_per_s": 729.11,
+    # round-1 recorded no trustworthy number for the other workloads (the
+    # ad-hoc Monkey script's "397 Mrays/s" was a 100x accounting slip -
+    # its own printed wall-clock, 6.6 s for 26.2M rays, is ~4 Mrays/s)
+}
+
+REF_SCENES = "/root/reference/ObjFiles"
 
 
-def main():
-    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
-    from ensem3a_openclraytracer_tpu.testing import make_cornell_scene
-
-    geom, materials, env, camera = make_cornell_scene(use_bvh=False)  # MXU engine
-    key = jax.random.PRNGKey(0)
-
-    import functools
-
-    fn = jax.jit(
-        functools.partial(
-            render_radiance,
-            height=RES,
-            width=RES,
-            spp=SPP,
-            max_bounce=MAX_BOUNCE,
-            sun_enabled=False,
-        )
-    )
-
-    import jax.numpy as jnp
-
-    # compile + warmup; the scalar fetch forces real completion (plain
-    # block_until_ready can return early over tunneled backends)
-    img = fn(geom, materials, env, camera, key)
-    float(jnp.sum(img))
-
-    runs = 3
-    # derive per-run keys OUTSIDE the timed region: the first eager
-    # fold_in dispatch compiles its own executable (~1s of host-side
-    # compile, not render throughput)
-    keys = [jax.random.fold_in(key, i) for i in range(runs)]
-    jax.block_until_ready(keys)
-    t0 = time.perf_counter()
-    for k in keys:
-        img = fn(geom, materials, env, camera, k)
-        float(jnp.sum(img))  # per-run completion barrier
-    dt = (time.perf_counter() - t0) / runs
-
-    # primary rays are cached once per pixel; each sample shoots up to
-    # max_bounce+1 bounce-segment rays (count them all: live-masking means
-    # the hardware does the full batch regardless)
-    rays = RES * RES * (1 + SPP * (MAX_BOUNCE + 1))
-    mrays = rays / dt / 1e6
-    vs = mrays / BASELINE_MRAYS if BASELINE_MRAYS else 1.0
+def _emit(metric: str, value: float, unit: str):
+    base = BASELINES.get(metric)
+    vs = value / base if base else 1.0
     print(
         json.dumps(
             {
-                "metric": "cornell_forward_mrays_per_s",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
                 "vs_baseline": round(vs, 3),
             }
+        ),
+        flush=True,
+    )
+
+
+def _time(fn, *args, runs=3, warmup=True):
+    """Median wall-clock of ``fn(*args)``; a scalar fetch per run forces
+    real completion (plain block_until_ready can return early over
+    tunneled backends)."""
+    if warmup:
+        out = fn(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def _rays(res: int, spp: int, max_bounce: int, sun: bool) -> int:
+    per_sample = (max_bounce + 1) * (2 if sun else 1)
+    return res * res * (1 + spp * per_sample)
+
+
+def bench_cornell_forward():
+    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+    from ensem3a_openclraytracer_tpu.testing import make_cornell_scene
+
+    res = 64 if CPU_SMOKE else 512
+    spp = 4 if CPU_SMOKE else 100
+    mb = 4
+    geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    fn = jax.jit(
+        functools.partial(
+            render_radiance,
+            height=res,
+            width=res,
+            spp=spp,
+            max_bounce=mb,
+            sun_enabled=False,
         )
     )
+    key = jax.random.PRNGKey(0)
+    keys = [jax.random.fold_in(key, i) for i in range(3)]
+    jax.block_until_ready(keys)
+    fn(geom, materials, env, camera, key)  # compile outside timing
+
+    def run(k):
+        return fn(geom, materials, env, camera, k)
+
+    dt = _time(run, keys[0], runs=3)
+    _emit(
+        "cornell_forward_mrays_per_s",
+        _rays(res, spp, mb, sun=False) / dt / 1e6,
+        "Mrays/s",
+    )
+    return geom, materials, env, camera
+
+
+def bench_cornell_fwdbwd(scene):
+    from ensem3a_openclraytracer_tpu.models.optimize import (
+        TrainableParams,
+        image_loss,
+        render_for_grad,
+    )
+
+    geom, materials, env, camera = scene
+    res = 32 if CPU_SMOKE else 512
+    spp = 2 if CPU_SMOKE else 100
+    mb = 4
+    params = TrainableParams.from_scene_params(materials, env)
+    target = jnp.zeros((res, res, 3), jnp.float32)
+
+    def loss_fn(p, key):
+        img = render_for_grad(
+            p,
+            geom,
+            materials,
+            env,
+            camera,
+            key,
+            height=res,
+            width=res,
+            spp=spp,
+            max_bounce=mb,
+            sun_enabled=False,
+        )
+        return image_loss(img, target)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    key = jax.random.PRNGKey(1)
+    vg(params, key)  # compile
+
+    def run(k):
+        return vg(params, k)
+
+    dt = _time(run, key, runs=3)
+    _emit(
+        "cornell_fwdbwd_mrays_per_s",
+        _rays(res, spp, mb, sun=False) / dt / 1e6,
+        "Mrays/s",
+    )
+
+
+def bench_pixel_grad_err():
+    """BASELINE.md gradient metric: max-abs-error of the pixel-gradient
+    image d(image)/d(sun_power) vs the torch CPU autodiff oracle, on the
+    procedural Cornell with sun+IBL enabled (fixed uniform stream; torch
+    side uses exact linearity in sun_power)."""
+    import numpy as np
+
+    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+    from ensem3a_openclraytracer_tpu.oracle.torch_oracle import render_scene_arrays
+    from ensem3a_openclraytracer_tpu.testing import (
+        cornell_camera,
+        cornell_env,
+        cornell_geometry,
+        cornell_materials,
+    )
+
+    res, spp, mb = 24, 2, 3
+    geom = cornell_geometry()
+    m, c = cornell_materials(), cornell_camera()
+    e = cornell_env()._replace(
+        sun_power=jnp.asarray(0.7, jnp.float32),
+        ibl_power=jnp.asarray(0.5, jnp.float32),
+    )
+    u = np.random.default_rng(1234).random(
+        size=(spp, mb + 1, res * res, 2), dtype=np.float64
+    ).astype(np.float32)
+
+    def img_of_sun(sp):
+        return render_radiance(
+            geom, m, e._replace(sun_power=sp), c, jax.random.PRNGKey(0),
+            height=res, width=res, spp=spp, max_bounce=mb,
+            sun_enabled=True, uniforms=jnp.asarray(u),
+        )
+
+    img_j, gimg = jax.jvp(
+        img_of_sun,
+        (jnp.asarray(0.7, jnp.float32),),
+        (jnp.asarray(1.0, jnp.float32),),
+    )
+    img0, _ = render_scene_arrays(
+        geom, m, e._replace(sun_power=jnp.asarray(0.0)), c, u,
+        height=res, width=res, max_bounce=mb, sun_enabled=True,
+    )
+    img1, _ = render_scene_arrays(
+        geom, m, e._replace(sun_power=jnp.asarray(1.0)), c, u,
+        height=res, width=res, max_bounce=mb, sun_enabled=True,
+    )
+    gref = (img1 - img0).detach().numpy()
+    err = np.abs(np.asarray(gimg) - gref)
+    # a few edge pixels pick a different triangle between the two f32
+    # Moller-Trumbore implementations; their paths - and therefore their
+    # Monte-Carlo estimates - differ entirely, which says nothing about
+    # gradient accuracy.  Compare gradients only where the forward images
+    # agree (path-identical pixels; in practice > 98% of the frame).
+    img_ref = (img0 + 0.7 * (img1 - img0)).detach().numpy()
+    same_path = np.abs(np.asarray(img_j) - img_ref).max(axis=-1) < 1e-3
+    _emit(
+        "cornell_pixel_grad_max_abs_err",
+        float(err[same_path].max()),
+        "radiance/sun_power",
+    )
+
+
+REF_WORKLOADS = [
+    # (metric tag, obj file; res/spp/bounce come from the scene's own ini)
+    ("ref_cornell", "Cornell box.obj"),
+    ("ref_monkey", "Cornell box_Monkey.obj"),
+    ("ref_furnace", "FurnaceHD.obj"),
+    ("ref_serre", "Serre_leger.obj"),
+]
+
+
+def bench_reference_scenes():
+    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance_jit
+    from ensem3a_openclraytracer_tpu.scene.scene import Scene
+
+    if not os.path.isdir(REF_SCENES):
+        return
+    with tempfile.TemporaryDirectory() as tmp:
+        # the loader creates/reads .ini next to the .obj; never write to
+        # the read-only reference checkout
+        for name in os.listdir(REF_SCENES):
+            shutil.copy(os.path.join(REF_SCENES, name), tmp)
+        for tag, obj in REF_WORKLOADS:
+            scene = Scene.load(os.path.join(tmp, obj))
+            rs = scene.config.render_settings()
+            res, spp, mb = rs.resolution, rs.spp, rs.max_bounce
+            if CPU_SMOKE:
+                res, spp = 32, 2
+            env = scene.env_params()
+            materials = scene.material_params()
+            sun = bool(float(env.sun_power) != 0.0)
+            geom, cam = scene.geometry, scene.camera_params()
+            key = jax.random.PRNGKey(0)
+
+            def run(k):
+                return render_radiance_jit(
+                    geom, materials, env, cam, k,
+                    height=res, width=res, spp=spp, max_bounce=mb,
+                    sun_enabled=sun,
+                )
+
+            run(key)  # compile
+            runs = 1 if spp * res * res > 300 * 512 * 512 else 2
+            dt = _time(run, jax.random.fold_in(key, 7), runs=runs)
+            _emit(
+                f"{tag}_forward_mrays_per_s",
+                _rays(res, spp, mb, sun=sun) / dt / 1e6,
+                "Mrays/s",
+            )
+
+
+def main():
+    scene = bench_cornell_forward()
+    bench_cornell_fwdbwd(scene)
+    bench_pixel_grad_err()
+    bench_reference_scenes()
 
 
 if __name__ == "__main__":

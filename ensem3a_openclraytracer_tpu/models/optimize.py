@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+from ensem3a_openclraytracer_tpu.models.replay import render_radiance_replay
 from ensem3a_openclraytracer_tpu.parallel.render import render_radiance_sharded
 from ensem3a_openclraytracer_tpu.scene.materials import EnvParams, MaterialParams
 
@@ -60,6 +61,42 @@ def image_loss(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((rendered - target) ** 2)
 
 
+def render_for_grad(
+    params: TrainableParams,
+    geom,
+    materials: MaterialParams,
+    env: EnvParams,
+    camera,
+    key,
+    *,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool = True,
+    mesh=None,
+):
+    """Differentiable render from a :class:`TrainableParams` pytree - the
+    single entry point every gradient consumer (train step, fwd+bwd
+    bench) goes through, so engine upgrades to the backward path land
+    everywhere at once.  Single-device renders use the path-replay
+    engine (models/replay.py: trace once, differentiate a shading-only
+    replay); sharded renders differentiate through the scan estimator
+    under ``shard_map``."""
+    m, e = params.apply(materials, env)
+    if mesh is None:
+        return render_radiance_replay(
+            geom, m, e, camera, key,
+            height=height, width=width, spp=spp, max_bounce=max_bounce,
+            sun_enabled=sun_enabled,
+        )
+    return render_radiance_sharded(
+        mesh, geom, m, e, camera, key,
+        height=height, width=width, spp=spp, max_bounce=max_bounce,
+        sun_enabled=sun_enabled, fused=False,
+    )
+
+
 def make_train_step(
     geom,
     materials: MaterialParams,
@@ -81,26 +118,11 @@ def make_train_step(
     ``(dp, sp)`` and XLA all-reduces the parameter gradients."""
 
     def render_fn(params: TrainableParams, key):
-        m, e = params.apply(materials, env)
-        if mesh is None:
-            return render_radiance(
-                geom,
-                m,
-                e,
-                camera,
-                key,
-                height=height,
-                width=width,
-                spp=spp,
-                max_bounce=max_bounce,
-                sun_enabled=sun_enabled,
-                fused=False,  # gradients flow through the scan estimator
-            )
-        return render_radiance_sharded(
-            mesh,
+        return render_for_grad(
+            params,
             geom,
-            m,
-            e,
+            materials,
+            env,
             camera,
             key,
             height=height,
@@ -108,7 +130,7 @@ def make_train_step(
             spp=spp,
             max_bounce=max_bounce,
             sun_enabled=sun_enabled,
-            fused=False,  # gradients flow through the scan estimator
+            mesh=mesh,
         )
 
     def loss_fn(params, target, key):

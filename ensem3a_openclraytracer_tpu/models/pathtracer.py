@@ -317,7 +317,13 @@ def radiance_for_rays(
         if nee:
             direct, sampled = nee_contribution(live, thr, in_dir, surf, ul)
             rad = rad + direct
-            emit_ok = jnp.where(live & sampled, False, emit_ok)
+            # Emission at the NEXT vertex is suppressed only when THIS
+            # vertex NEE-sampled the light; the flag resets every bounce.
+            # Glass vertices never NEE-sample (delta lobe) and their
+            # shadow rays treat glass as an occluder, so BSDF emission
+            # through a diffuse->glass->light chain must stay enabled -
+            # a sticky flag loses that light entirely (round-1 bias).
+            emit_ok = jnp.where(live, ~sampled, emit_ok)
 
         # sample the bounce and update throughput (Raytracing.cl:58-87)
         bdir, factor = sample_bounce(

@@ -1,0 +1,341 @@
+"""Path-replay differentiable rendering: trace once, differentiate a
+shading-only replay.
+
+The scan estimator differentiates through its whole bounce loop under
+``jax.checkpoint``, so the backward pass re-runs every ray trace (the
+expensive [rays x tris] intersection sweeps) even though visibility is
+detached (``stop_gradient`` in :func:`pathtracer.trace`) and contributes
+no gradient.  This engine exploits that detachment structurally:
+
+  1. **Record** (non-differentiable): trace all paths once and store, per
+     (sample, bounce, ray), the uniforms and the hit / sun-occluder
+     triangle indices - the complete discrete path structure.  Bounce
+     directions depend only on uniforms + geometry (cosine / uniform
+     hemisphere / straight-through glass; ops/bsdf.py), never on
+     differentiable parameters, so the recorded paths are exact for every
+     parameter value in a neighborhood.
+  2. **Replay** (differentiable): recompute radiance from the records
+     with pure elementwise math + row gathers - zero intersection work.
+     ``jax.grad`` through the replay touches no trace; the backward pass
+     costs O(shading), not O(tracing).
+
+The replayed estimator is the scan estimator: identical sampling
+formulas on an identical threefry stream, so the primal equals
+``render_radiance(..., fused=False)`` to float32 accuracy and the
+gradients match exactly (tests/test_replay.py).
+
+On TPU the recorder can run the fused Pallas kernel in record mode
+(ops/fused.py) - forward tracing at fused-kernel speed, with the
+hardware-PRNG uniforms exported as part of the record.
+
+Mirrors the reference estimator semantics the same way the scan path
+does (Raytracing.cl:39-153); NEE renders currently stay on the scan
+path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ensem3a_openclraytracer_tpu.models.pathtracer import trace
+from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
+from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
+from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
+from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
+from ensem3a_openclraytracer_tpu.scene.materials import (
+    CameraParams,
+    EnvParams,
+    MaterialParams,
+)
+from ensem3a_openclraytracer_tpu.scene.scene import GeometryPack
+
+
+class PathRecords(NamedTuple):
+    """Discrete path structure for ``spp`` samples of ``N`` rays.
+
+    ``tri``/``sun_tri`` use -1 for "no hit"; indices are in the packed
+    (Morton-ordered) face space.  ``sun_tri`` is all -1 when the sun is
+    disabled (and the array is size-0 along the bounce axis)."""
+
+    u: jnp.ndarray  # [spp, B+1, N, 2] float32 uniforms
+    tri: jnp.ndarray  # [spp, B+1, N] int32 bounce-segment hit
+    sun_tri: jnp.ndarray  # [spp, B+1, N] int32 sun-shadow occluder
+    primary_tri: jnp.ndarray  # [N] int32 cached primary hit
+
+
+def _face_geom_rows(geom: GeometryPack) -> jnp.ndarray:
+    """[T, 4] per-face (normal, material-id) gather table."""
+    return jnp.concatenate(
+        [geom.n, geom.mat.astype(jnp.float32)[:, None]], axis=1
+    )
+
+
+def _sample_uniforms(key: jax.Array, spp: int, max_bounce: int, n: int):
+    """The scan estimator's exact stream: per-sample threefry keys, each
+    folded with 0 before drawing [B+1, N, 2] (pathtracer.one_sample)."""
+    sample_keys = jax.random.split(key, spp)
+
+    def one(k):
+        return jax.random.uniform(jax.random.fold_in(k, 0), (max_bounce + 1, n, 2))
+
+    return jax.vmap(one)(sample_keys)
+
+
+def record_paths(
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    *,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> PathRecords:
+    """Trace all paths once; no differentiable parameter participates.
+
+    Only geometry-derived state (position, normal, material TYPE) feeds
+    the recorder - colors/roughness/powers never affect which triangle a
+    path visits, so the records are reusable across parameter values."""
+    n_rays = ray_o.shape[0]
+    if uniforms is None:
+        uniforms = _sample_uniforms(key, spp, max_bounce, n_rays)
+    uniforms = jax.lax.stop_gradient(uniforms)
+
+    face_rows = _face_geom_rows(geom)
+    mtype_tab = materials.mtype.astype(jnp.int32)
+
+    primary_hit = trace(geom, ray_o, ray_d)
+    primary_tri = jnp.where(primary_hit.hit, primary_hit.tri, -1)
+    sun_dir = jnp.broadcast_to(sun_direction(env.sun_angles_deg), (n_rays, 3))
+
+    def surf_of(origin, direction, hit_t, tri):
+        rows = gather_rows(face_rows, jnp.maximum(tri, 0))
+        n = rows[:, :3]
+        midx = jnp.round(rows[:, 3]).astype(jnp.int32)
+        mt = gather_rows(mtype_tab[:, None], midx)[:, 0]
+        return origin + direction * hit_t[:, None], n, mt
+
+    def one_sample(us):
+        p, n, mt = surf_of(ray_o, ray_d, primary_hit.t, primary_tri)
+        live = primary_hit.hit
+
+        def bounce(carry, u):
+            p, n, mt, in_dir, live = carry
+            u1, u2 = u[:, 0], u[:, 1]
+            emis = live & (mt == EMISSIVE)
+            live = live & ~emis
+            # directions only; the throughput factor is replay-side.
+            # color/roughness inputs are dummies (zeros): sample_bounce's
+            # direction branch never reads them
+            zero3 = jnp.zeros_like(p)
+            bdir, _ = sample_bounce(mt, zero3, zero3[:, 0], in_dir, n, u1, u2)
+            hit = trace(geom, p, bdir)
+            tri_rec = jnp.where(hit.hit, hit.tri, -1)
+            if sun_enabled:
+                sh = trace(geom, p, sun_dir)
+                sun_rec = jnp.where(sh.hit, sh.tri, -1)
+            else:
+                sun_rec = jnp.full_like(tri_rec, -1)
+            live = live & hit.hit
+            np_, nn, nmt = surf_of(p, bdir, hit.t, tri_rec)
+            lm = live[:, None]
+            p = jnp.where(lm, np_, p)
+            n = jnp.where(lm, nn, n)
+            mt = jnp.where(live, nmt, mt)
+            in_dir = jnp.where(lm, bdir, in_dir)
+            return (p, n, mt, in_dir, live), (tri_rec, sun_rec)
+
+        carry0 = (p, n, mt, ray_d, live)
+        _, (tris, sun_tris) = jax.lax.scan(bounce, carry0, us)
+        return tris, sun_tris
+
+    tris, sun_tris = jax.lax.scan(
+        lambda _, us: (None, one_sample(us)), None, uniforms
+    )[1]
+    return PathRecords(
+        u=uniforms,
+        tri=tris,
+        sun_tri=sun_tris,
+        primary_tri=jax.lax.stop_gradient(primary_tri),
+    )
+
+
+def replay_radiance(
+    records: PathRecords,
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    ray_d: jnp.ndarray,
+    *,
+    sun_enabled: bool,
+    ibl_bilinear: bool = True,
+) -> jnp.ndarray:
+    """Differentiable radiance ``[N, 3]`` from recorded paths - pure
+    shading: gathers + elementwise math, no intersection tests.
+
+    Reproduces the scan estimator bounce-for-bounce (pathtracer.py
+    ``bounce_step``, BSDF-only path), with hit/miss decisions read from
+    the records instead of traced."""
+    n_rays = ray_d.shape[0]
+    face_rows = _face_geom_rows(geom)
+    mat_rows = jnp.concatenate(
+        [
+            materials.mtype.astype(jnp.float32)[:, None],
+            materials.color,
+            materials.roughness[:, None],
+        ],
+        axis=1,
+    )
+
+    def surf_of(tri):
+        rows = gather_rows(face_rows, jnp.maximum(tri, 0))
+        n = rows[:, :3]
+        midx = jnp.round(rows[:, 3]).astype(jnp.int32)
+        mrows = gather_rows(mat_rows, midx)
+        mt = jnp.round(mrows[:, 0]).astype(jnp.int32)
+        return n, mt, mrows[:, 1:4], mrows[:, 4]
+
+    env_radiance = lambda d: sample_ibl(env.ibl, d, bilinear=ibl_bilinear) * env.ibl_power
+    sun_dir_v = sun_direction(env.sun_angles_deg)
+
+    primary_live = records.primary_tri >= 0
+    primary_miss_rad = jnp.where(
+        primary_live[:, None], 0.0, env_radiance(ray_d)
+    )
+    pn, pmt, pcol, prough = surf_of(records.primary_tri)
+
+    def one_sample(xs):
+        us, tris, sun_tris = xs
+
+        def bounce(carry, x):
+            live, thr, rad, in_dir, n, mt, col, rough = carry
+            u, tri, sun_tri = x
+            u1, u2 = u[:, 0], u[:, 1]
+
+            emis = live & (mt == EMISSIVE)
+            rad = rad + jnp.where(emis[:, None], thr * rough[:, None], 0.0)
+            live = live & ~emis
+
+            bdir, factor = sample_bounce(mt, col, rough, in_dir, n, u1, u2)
+            thr = jnp.where(live[:, None], thr * factor, thr)
+
+            hit = tri >= 0
+            miss = live & ~hit
+            env_light = env_radiance(bdir)
+            if sun_enabled:
+                s_hit = sun_tri >= 0
+                _, s_mt, s_col, _ = surf_of(sun_tri)
+                unocc = (~s_hit) & (mt != GLASS)
+                glass_occ = s_hit & (s_mt == GLASS)
+                sun_light = (
+                    unocc[:, None].astype(jnp.float32) * env.sun_power
+                    + glass_occ[:, None].astype(jnp.float32) * s_col * env.sun_power
+                )
+            else:
+                sun_light = jnp.zeros_like(env_light)
+            rad = rad + jnp.where(miss[:, None], thr * (sun_light + env_light), 0.0)
+            live = live & hit
+
+            nn, nmt, ncol, nrough = surf_of(tri)
+            lm = live[:, None]
+            n = jnp.where(lm, nn, n)
+            mt = jnp.where(live, nmt, mt)
+            col = jnp.where(lm, ncol, col)
+            rough = jnp.where(live, nrough, rough)
+            in_dir = jnp.where(lm, bdir, in_dir)
+            return (live, thr, rad, in_dir, n, mt, col, rough), None
+
+        carry0 = (
+            primary_live,
+            jnp.ones_like(ray_d),
+            primary_miss_rad,
+            ray_d,
+            pn,
+            pmt,
+            pcol,
+            prough,
+        )
+        (live, thr, rad, _, n, mt, col, rough), _ = jax.lax.scan(
+            bounce, carry0, (us, tris, sun_tris)
+        )
+        final_emis = live & (mt == EMISSIVE)
+        rad = rad + jnp.where(final_emis[:, None], thr * rough[:, None], 0.0)
+        return rad
+
+    # checkpoint: backward recomputes the (cheap, trace-free) replay per
+    # sample instead of saving every bounce's intermediates
+    one_sample = jax.checkpoint(one_sample)
+
+    def spp_step(acc, xs):
+        return acc + one_sample(xs), None
+
+    acc, _ = jax.lax.scan(
+        spp_step,
+        jnp.zeros_like(ray_d),
+        (records.u, records.tri, records.sun_tri),
+    )
+    # primary_miss_rad is already inside every sample's carry (exactly the
+    # scan estimator's accounting, pathtracer.one_sample)
+    return acc / records.u.shape[0]
+
+
+def radiance_for_rays_replay(
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    *,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool = True,
+    ibl_bilinear: bool = True,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Drop-in differentiable replacement for
+    ``radiance_for_rays(..., fused=False, nee=False)``: same estimator,
+    same random stream, but ``jax.grad`` never re-traces."""
+    records = record_paths(
+        geom, materials, env, ray_o, ray_d, key,
+        spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
+        uniforms=uniforms,
+    )
+    return replay_radiance(
+        records, geom, materials, env, ray_d,
+        sun_enabled=sun_enabled, ibl_bilinear=ibl_bilinear,
+    )
+
+
+def render_radiance_replay(
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    camera: CameraParams,
+    key: jax.Array,
+    *,
+    height: int,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool = True,
+    ibl_bilinear: bool = True,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Differentiable radiance image ``[H, W, 3]`` via path replay."""
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, height, width
+    )
+    rad = radiance_for_rays_replay(
+        geom, materials, env, ray_o, ray_d, key,
+        spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
+        ibl_bilinear=ibl_bilinear, uniforms=uniforms,
+    )
+    return rad.reshape(height, width, 3)

@@ -145,6 +145,36 @@ def make_cornell_scene(use_bvh: bool = False):
     return cornell_geometry(use_bvh), cornell_materials(), cornell_env(), cornell_camera()
 
 
+def make_glass_light_scene(use_bvh: bool = False):
+    """Diffuse floor lit by an emissive panel with a wide glass pane in
+    between: every floor->light path crosses the glass.  Exercises the
+    NEE edge case where the shadow ray is glass-occluded but the BSDF
+    chain (diffuse -> glass -> light) still carries the light; an
+    estimator that suppresses BSDF emission after any NEE-sampled vertex
+    renders this scene black."""
+    tris = []
+    # floor z=0, normal +z
+    tris += _quad((-8, -4, 0), (8, -4, 0), (8, 12, 0), (-8, 12, 0), M_WHITE)
+    # glass pane z=1.5, wide enough that no bounce path slips around it
+    tris += _quad((-60, -60, 1.5), (60, -60, 1.5), (60, 60, 1.5), (-60, 60, 1.5), M_GLASS)
+    # emissive panel z=3, likewise wide
+    tris += _quad((-40, -40, 3), (40, -40, 3), (40, 40, 3), (-40, 40, 3), M_LIGHT)
+    geom = _pack(tris, use_bvh)
+    env = EnvParams.create(
+        sun_angles_deg=(0.0, 0.0, 0.0),
+        sun_power=0.0,
+        ibl_power=0.0,
+        ibl=default_sky(8, 16),
+    )
+    cam = CameraParams.create(
+        position=(0.0, 0.0, 1.0), rotation_deg=(-35.0, 0.0, 0.0), fov_deg=55.0
+    )
+    mats = cornell_materials()
+    # modest power so radiance stays O(1) for absolute-tolerance checks
+    mats = mats._replace(roughness=mats.roughness.at[M_LIGHT].set(2.0))
+    return geom, mats, env, cam
+
+
 def make_outdoor_scene(n_cubes: int = 64, seed: int = 7, use_bvh: bool = True):
     """An open scene exercising sun + IBL paths: a ground plane and a grid
     of jittered cubes under the procedural sky.  ``12 * n_cubes + 2``

@@ -20,8 +20,12 @@ HERE = os.path.join(os.path.dirname(__file__), "golden")
 
 def _check(name, img):
     path = os.path.join(HERE, name)
-    if not os.path.exists(path):
-        pytest.skip(f"golden {name} missing (run tests/golden/make_goldens.py)")
+    # a missing golden is a FAILURE, not a skip: silently degrading the
+    # regression gate inverts its safety (a deleted golden must be
+    # noticed, then regenerated deliberately via make_goldens.py)
+    assert os.path.exists(path), (
+        f"golden {name} missing - regenerate with tests/golden/make_goldens.py"
+    )
     ref = np.load(path)
     np.testing.assert_allclose(np.asarray(img), ref, atol=2e-5, rtol=1e-4)
 

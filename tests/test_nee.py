@@ -12,6 +12,7 @@ from ensem3a_openclraytracer_tpu.testing import (
     cornell_env,
     cornell_geometry,
     cornell_materials,
+    make_glass_light_scene,
 )
 
 RES = 32
@@ -47,6 +48,37 @@ def test_nee_unbiased_and_lower_variance():
     v_nee = nee.std(axis=0).mean()
     v_bsdf = bsdf_same_spp.std(axis=0).mean()
     assert v_nee < 0.5 * v_bsdf, f"nee std {v_nee} vs bsdf std {v_bsdf}"
+
+
+def test_nee_glass_transmitted_light_unbiased():
+    """Per-pixel: light seen through glass must survive under NEE.
+
+    The NEE shadow ray treats the glass pane as an occluder, so ALL of
+    this scene's direct light arrives via the BSDF chain
+    (diffuse -> glass -> light).  A sticky emission-suppression flag
+    (round-1 bug) counts it in neither estimator branch and renders the
+    floor near-black; the correct per-bounce flag makes the NEE render
+    match a converged BSDF-only render pixel for pixel."""
+    res, mb, spp = 16, 3, 196
+    geom, m, e, c = make_glass_light_scene()
+    lights = build_light_pack(geom, m)
+    assert lights is not None
+
+    def render(nee, k):
+        return np.asarray(
+            render_radiance(
+                geom, m, e, c, jax.random.PRNGKey(k),
+                height=res, width=res, spp=spp, max_bounce=mb,
+                sun_enabled=False, lights=lights if nee else None, nee=nee,
+            )
+        )
+
+    bsdf = (render(False, 0) + render(False, 1)) / 2
+    nee = (render(True, 10) + render(True, 11)) / 2
+    # the scene is lit: a black frame is the bias signature
+    assert nee.mean() > 0.5 * bsdf.mean() and bsdf.mean() > 0.3
+    d = np.abs(nee - bsdf)
+    assert d.max() < 0.15, f"per-pixel bias: max={d.max()} mean={d.mean()}"
 
 
 def test_nee_light_pack_contents():
