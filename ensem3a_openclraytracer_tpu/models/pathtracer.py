@@ -78,17 +78,33 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+# sorting pays only when there are enough blocks to cull; tiny scenes
+# are a single dense block where ray order is irrelevant
+_SORT_MIN_BLOCKS = 4
+
+
 def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
     """Closest-hit dispatch: the MXU matmul engine when the pack carries
     triangle features (fastest for <= ~64k tris), LBVH traversal when it
     carries a tree, tiled Moller-Trumbore otherwise.  Visibility is
     non-differentiable by design; inputs are detached so no AD path
-    enters the trace."""
+    enters the trace.
+
+    Multi-block scenes sort the batch by (direction octant, origin
+    Morton) around the kernel call: coherent tiles let the kernel's
+    per-tile block culling and front-to-back early exit skip most of
+    the scene, and the results scatter back to caller order."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
     if geom.feats is not None:
         if _on_tpu():
-            return trace_mxu_pallas(geom.feats, ray_o, ray_d)
+            feats = geom.feats
+            if feats.block_bounds.shape[0] >= _SORT_MIN_BLOCKS:
+                order = fused_ops.coherent_order(ray_o, ray_d)
+                h = trace_mxu_pallas(feats, ray_o[order], ray_d[order])
+                unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
+                return Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))
+            return trace_mxu_pallas(feats, ray_o, ray_d)
         return trace_mxu(geom.feats, ray_o, ray_d)
     if geom.bvh is not None:
         return trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
@@ -190,9 +206,15 @@ def radiance_for_rays(
     )
 
     if fused is None:
+        # the whole-bounce-loop kernel wins only for single-block scenes
+        # (everything VMEM-resident, no culling needed); multi-block
+        # scenes run the scan estimator whose per-bounce traces sort rays
+        # by (octant, Morton) - measured faster than the rolled fused
+        # loop on the 15.7k-tri Monkey, and it supports NEE/gradients
         fused = (
             _on_tpu()
             and geom.feats is not None
+            and geom.feats.block_bounds.shape[0] == 1
             and uniforms is None
             and not nee
         )

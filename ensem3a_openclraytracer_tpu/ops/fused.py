@@ -47,7 +47,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ensem3a_openclraytracer_tpu.ops.geometry import MAX_DIST, MIN_HIT_DIST
-from ensem3a_openclraytracer_tpu.ops.intersect_mxu import TRI_TILE, TriFeatures
+from ensem3a_openclraytracer_tpu.ops.intersect_mxu import (
+    _MAXKEY,
+    TRI_TILE,
+    TriFeatures,
+    build_ecat,
+    build_nd_rhs,
+    build_pnd,
+)
 from ensem3a_openclraytracer_tpu.ops.sampling import PI
 
 # rays per grid step; the in-kernel [3*TT, R] products scale VMEM with
@@ -106,11 +113,6 @@ def _cross3(a, b):
 def _where3(m, a, b):
     """Select [3, R] by a [1, R] mask."""
     return jnp.where(jnp.broadcast_to(m, a.shape), a, b)
-
-
-_MAXKEY = np.int32(
-    np.asarray(np.float32(MAX_DIST)).view(np.int32) & ~np.int32(0xFF)
-)
 
 
 def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
@@ -183,18 +185,12 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                 jnp.abs(dirv) < tiny, jnp.where(dirv < 0, -tiny, tiny), dirv
             )
             inv_d = 1.0 / d_safe
-            # split-bf16 right operand for the fused num/den matmul: the
-            # DEFAULT-precision dot truncates f32 inputs to bf16, so the
-            # explicit residual rows recover the next 8 mantissa bits
-            # (3-term split: hi*hi + hi*lo + lo*hi ~ 2^-16 relative, the
-            # same order as the packed-key low-byte stomp)
-            q_hi = q4.astype(jnp.bfloat16).astype(jnp.float32)
-            q_lo = q4 - q_hi
-            d_hi = dirv.astype(jnp.bfloat16).astype(jnp.float32)
-            d_lo = dirv - d_hi
-            nd_rhs = jnp.concatenate(
-                [q_hi, q_lo, q_hi, d_hi, d_lo, d_hi], axis=0
-            )  # [21, R]
+            # split-bf16 right operand for the fused num/den matmul
+            # (ops/intersect_mxu.build_nd_rhs): the DEFAULT-precision dot
+            # truncates f32 inputs to bf16, so the explicit residual rows
+            # recover the next 8 mantissa bits (~2^-16 relative, the same
+            # order as the packed-key low-byte stomp)
+            nd_rhs = build_nd_rhs(q4, dirv)  # [21, R]
 
             def intersect_block(j, best_key, best_attr):
                 # multiple_of: j may come from a VMEM permutation load,
@@ -534,38 +530,10 @@ def sample_fused(
     ray_spec = lambda k: pl.BlockSpec(
         (k, ray_tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM
     )
-    # block-interleaved edge features: block j's columns are
-    # [e_AB | e_BC | e_CA], so one matmul covers all three side tests
-    ecat = (
-        feats.edges.reshape(3, 6, num_tiles, tri_tile)
-        .transpose(1, 2, 0, 3)
-        .reshape(6, num_tiles * 3 * tri_tile)
-    )
-    # fused num/den matmul operand [21, 2*Tp]: block j's columns are
-    # [A_num (TT) | A_den (TT)].  A_num rows pair with the kernel's rhs
-    # rows [q_hi, q_lo, q_hi]: (plane_hi, plane_hi, plane_lo); A_den rows
-    # pair with [d_hi, d_lo, d_hi]: (n_hi, n_hi, n_lo).  The 3-term
-    # split-bf16 product recovers ~2^-16 relative accuracy for the
-    # hit-distance numerator/denominator on the bf16 MXU path.
-    def _split(x):
-        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-        return hi, x - hi
-
-    p_hi, p_lo = _split(feats.plane)  # [4, Tp]
-    n_hi, n_lo = _split(feats.normal_d)  # [3, Tp]
-    a_num = jnp.concatenate(
-        [p_hi, p_hi, p_lo, jnp.zeros((9, tp), jnp.float32)], axis=0
-    )  # [21, Tp]
-    a_den = jnp.concatenate(
-        [jnp.zeros((12, tp), jnp.float32), n_hi, n_hi, n_lo], axis=0
-    )  # [21, Tp]
-    pnd = jnp.concatenate(
-        [
-            a_num.reshape(21, num_tiles, tri_tile),
-            a_den.reshape(21, num_tiles, tri_tile),
-        ],
-        axis=2,
-    ).reshape(21, 2 * tp)
+    # shared packed operands (ops/intersect_mxu.py): block-interleaved
+    # edge features and the 3-term split-bf16 num/den table
+    ecat = build_ecat(feats.edges, num_tiles, tri_tile)
+    pnd = build_pnd(feats.plane, feats.normal_d, num_tiles, tri_tile)
 
     if merged:
         # [27, 5*TT]: rows 0-5 (ray r6 side) carry the edge columns, rows
@@ -651,6 +619,31 @@ def _expand_bits_10_jnp(v):
     v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
     v = (v | (v << 2)) & jnp.uint32(0x09249249)
     return v
+
+
+def coherent_order(p: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Argsort of rays by (direction octant, 27-bit origin Morton code).
+
+    Rays that land in the same kernel tile then share BOTH a spatial
+    cluster and a direction octant, so the tile's frustum is tight and
+    the multi-block trace kernel's per-tile AABB culling + front-to-back
+    early exit actually bite (unsorted bounce rays point everywhere, and
+    one divergent lane drags its whole tile through every block)."""
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 0.9999999)
+    g = (q * 512.0).astype(jnp.uint32)  # 9 bits/axis -> 27-bit Morton
+    code = (
+        (_expand_bits_10_jnp(g[:, 0]) << 2)
+        | (_expand_bits_10_jnp(g[:, 1]) << 1)
+        | _expand_bits_10_jnp(g[:, 2])
+    )
+    octant = (
+        ((d[:, 0] >= 0).astype(jnp.uint32) << 2)
+        | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | (d[:, 2] >= 0).astype(jnp.uint32)
+    )
+    return jnp.argsort((octant << jnp.uint32(27)) | code)
 
 
 def morton_order_points(p: jnp.ndarray) -> jnp.ndarray:

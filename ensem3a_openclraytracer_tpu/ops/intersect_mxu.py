@@ -111,6 +111,58 @@ def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
     )
 
 
+def build_ecat(edges: jnp.ndarray, num_tiles: int, tri_tile: int) -> jnp.ndarray:
+    """Block-interleaved edge operand ``[6, B * 3 * TT]``: block j's columns
+    are ``[e_AB | e_BC | e_CA]`` so ONE matmul per block covers all three
+    side tests."""
+    return (
+        edges.reshape(3, 6, num_tiles, tri_tile)
+        .transpose(1, 2, 0, 3)
+        .reshape(6, num_tiles * 3 * tri_tile)
+    )
+
+
+def build_pnd(plane: jnp.ndarray, normal_d: jnp.ndarray, num_tiles: int,
+              tri_tile: int) -> jnp.ndarray:
+    """Fused numerator/denominator operand ``[21, 2 * Tp]``: block j's
+    columns are ``[A_num (TT) | A_den (TT)]``.  A_num rows pair with the
+    kernel's rhs rows ``[q_hi, q_lo, q_hi]`` as (plane_hi, plane_hi,
+    plane_lo); A_den rows pair with ``[d_hi, d_lo, d_hi]`` as (n_hi,
+    n_hi, n_lo).  The 3-term split-bf16 product recovers ~2^-16 relative
+    accuracy for the hit distance on the bf16 MXU path."""
+    tp = plane.shape[-1]
+
+    def _split(x):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return hi, x - hi
+
+    p_hi, p_lo = _split(plane)  # [4, Tp]
+    n_hi, n_lo = _split(normal_d)  # [3, Tp]
+    a_num = jnp.concatenate(
+        [p_hi, p_hi, p_lo, jnp.zeros((9, tp), jnp.float32)], axis=0
+    )  # [21, Tp]
+    a_den = jnp.concatenate(
+        [jnp.zeros((12, tp), jnp.float32), n_hi, n_hi, n_lo], axis=0
+    )  # [21, Tp]
+    return jnp.concatenate(
+        [
+            a_num.reshape(21, num_tiles, tri_tile),
+            a_den.reshape(21, num_tiles, tri_tile),
+        ],
+        axis=2,
+    ).reshape(21, 2 * tp)
+
+
+def build_nd_rhs(q4: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Ray-side rhs ``[21, R]`` for the :func:`build_pnd` operand:
+    ``[q_hi, q_lo, q_hi, d_hi, d_lo, d_hi]`` (split-bf16 residuals)."""
+    q_hi = q4.astype(jnp.bfloat16).astype(jnp.float32)
+    q_lo = q4 - q_hi
+    d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+    d_lo = d - d_hi
+    return jnp.concatenate([q_hi, q_lo, q_hi, d_hi, d_lo, d_hi], axis=0)
+
+
 def _ray_features(ray_o, ray_d):
     """r6 = [d, d x o] (for side tests), q4 = [o, 1] (for t numerator)."""
     dxo = jnp.cross(ray_d, ray_o)
@@ -187,11 +239,21 @@ def trace_mxu(
 # ---------------------------------------------------------------------------
 
 RAY_TILE = 1024
+# multi-block scenes measured fastest at the same 1024-lane tiles:
+# smaller tiles cull finer but the per-(tile, block) fixed costs (slab
+# test, cond, SMEM reads) dominate - 256 lanes was 1.7x SLOWER on the
+# 15.7k-tri Monkey despite skipping more blocks
+RAY_TILE_MULTI = 1024
 TRI_TILE = 256
 
+# int32 view of MAX_DIST with the low byte cleared - the "no hit yet"
+# value of the packed (t | row) closest-hit key
+_MAXKEY = np.int32(
+    np.asarray(np.float32(MAX_DIST)).view(np.int32) & ~np.int32(0xFF)
+)
 
-def _mxu_kernel(edges_ref, plane_ref, nd_ref, blocks_ref, r6_ref, q4_ref, d_ref,
-                best_t_ref, best_i_ref):
+
+def _mxu_kernel(*refs):
     """One ray tile vs all triangle tiles; everything VMEM-resident.
 
     Layouts are transposed so the lane (last, 128-wide) axis is rays:
@@ -203,74 +265,95 @@ def _mxu_kernel(edges_ref, plane_ref, nd_ref, blocks_ref, r6_ref, q4_ref, d_ref,
     the tile slab-tests its rays against block j's AABB and skips the
     whole block when no live ray can find a closer hit inside it - the
     dense, branch-light TPU equivalent of tree traversal.  Coherent
-    tiles (camera / shadow rays) skip most of the scene.
-    """
+    tiles (camera / shadow rays) skip most of the scene.  Multi-block
+    grids additionally visit blocks front-to-back per tile (scalar
+    prefetch ``perm``) and STOP once every lane's best hit is closer
+    than a conservative lower bound on any remaining block's entry
+    distance - per-tile early termination, which is what makes the
+    visit order pay (callers sort rays by (direction octant, origin
+    Morton) so tiles are coherent; see pathtracer.trace)."""
     import jax.lax as lax
+
+    refs = list(refs)
+    perm_ref = lodist_ref = None
+    if len(refs) > 8:  # multi-block: two scalar-prefetch operands first
+        perm_ref = refs.pop(0)   # [G, B] int32 per-tile visit order
+        lodist_ref = refs.pop(0)  # [G, B] f32 dist lower bound, perm order
+    (ecat_ref, pnd_ref, blocks_ref,
+     r6_ref, q4_ref, d_ref, best_t_ref, best_i_ref) = refs
+    pid = pl.program_id(0)
 
     r6 = r6_ref[:]  # [6, R]
     q4 = q4_ref[:]  # [4, R]
     d = d_ref[:]  # [3, R]
     r = r6.shape[-1]
-    tp = edges_ref.shape[-1]
+    tp = ecat_ref.shape[-1] // 3
     tri_tile = min(TRI_TILE, tp)
     num_tiles = tp // tri_tile
+    row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
 
-    def dot_fast(a, b):
-        """Single-pass bf16 MXU dot - used ONLY for the Plucker sign
-        tests.  Edge watertightness survives bf16: shared-edge features
-        are exact negations, so the two triangles' w's are exact
-        negatives and one side always accepts.  Silhouette-edge sign
-        flips are sub-pixel MC noise."""
+    def dot_bf16(a, b):
+        # single-pass bf16 MXU dot.  Edge watertightness survives bf16:
+        # shared-edge features are exact negations, so the two triangles'
+        # w's are exact negatives and one side always accepts.  The hit
+        # distance instead goes through the 3-term split-bf16 pnd operand
+        # (build_pnd), which recovers ~2^-16 relative accuracy.
         return lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             precision=lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )
 
-    def outer_sum(rows, cols, sl, k):
-        """Exact f32 [TT, R] contraction on the VPU via outer-product
-        accumulation - full precision for the hit distance without the
-        6-pass f32 MXU cost."""
-        acc = rows[0, sl][:, None] * cols[0][None, :]
-        for i in range(1, k):
-            acc = acc + rows[i, sl][:, None] * cols[i][None, :]
-        return acc
-
+    nd_rhs = build_nd_rhs(q4, d)  # [21, R]
     o3 = q4[:3]  # [3, R] origins
     tiny = 1e-12
     d_safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
     inv_d = 1.0 / d_safe  # [3, R]
 
-    best_t = jnp.full((1, r), MAX_DIST, jnp.float32)
-    best_i = jnp.zeros((1, r), jnp.int32)
+    # packed (t | row) int32 key: the low 8 mantissa bits carry the
+    # in-block row, so ONE min reduction yields both the closest t and
+    # its triangle (relative t error 3e-5 - far below MIN_HIT_DIST)
+    best_key = jnp.full((1, r), _MAXKEY, jnp.int32)
+    best_blk = jnp.zeros((1, r), jnp.int32)
 
-    def intersect_block(j, best_t, best_i):
-        sl = pl.ds(j * tri_tile, tri_tile)
-        e1 = edges_ref[0, :, sl]  # [6, TT]
-        e2 = edges_ref[1, :, sl]
-        e3 = edges_ref[2, :, sl]
-        w1 = dot_fast(e1.T, r6)  # [TT, R]
-        w2 = dot_fast(e2.T, r6)
-        w3 = dot_fast(e3.T, r6)
-        inside = ((w1 >= 0) & (w2 >= 0) & (w3 >= 0)) | (
-            (w1 <= 0) & (w2 <= 0) & (w3 <= 0)
-        )
-        den = outer_sum(nd_ref, d, sl, 3)  # [TT, R] exact f32
-        num = outer_sum(plane_ref, q4, sl, 4)  # [TT, R] exact f32
+    def intersect_block(j, best_key, best_blk):
+        sl3 = pl.ds(pl.multiple_of(j * 3 * tri_tile, 128), 3 * tri_tile)
+        w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3TT, R]
+        w1 = w[0:tri_tile]
+        w2 = w[tri_tile : 2 * tri_tile]
+        w3 = w[2 * tri_tile : 3 * tri_tile]
+        wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
+        wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
+        inside = (wmin >= 0) | (wmax <= 0)
+        slnd = pl.ds(pl.multiple_of(j * 2 * tri_tile, 128), 2 * tri_tile)
+        nd_out = dot_bf16(pnd_ref[:, slnd].T, nd_rhs)  # [2TT, R]
+        num = nd_out[:tri_tile]
+        den = nd_out[tri_tile:]
         t = num / jnp.where(den == 0.0, 1.0, den)
         valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
         t = jnp.where(valid, t, MAX_DIST)
-        tile_min = jnp.min(t, axis=0, keepdims=True)  # [1, R]
-        tile_arg = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]  # [1, R]
-        better = tile_min < best_t
-        best_t = jnp.where(better, tile_min, best_t)
-        best_i = jnp.where(better, j * tri_tile + tile_arg, best_i)
-        return best_t, best_i
+        key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
+        kmin = jnp.min(key, axis=0, keepdims=True)  # [1, R]
+        better = kmin < best_key
+        best_key = jnp.where(better, kmin, best_key)
+        best_blk = jnp.where(better, j, best_blk)
+        return best_key, best_blk
 
-    def body(j, carry):
-        best_t, best_i = carry
-        if num_tiles == 1:
-            return intersect_block(j, best_t, best_i)
+    def finish(best_key, best_blk):
+        best_t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
+        best_i = best_blk * tri_tile + (best_key & jnp.int32(0xFF))
+        hit = best_t < MAX_DIST * 0.999
+        best_t_ref[:] = jnp.where(hit, best_t, MAX_DIST)
+        best_i_ref[:] = jnp.where(hit, best_i, 0)
+
+    if num_tiles == 1:
+        best_key, best_blk = intersect_block(0, best_key, best_blk)
+        finish(best_key, best_blk)
+        return
+
+    def body(state):
+        jj, best_key, best_blk = state
+        j = perm_ref[pid, jj]
         # slab test: tile rays vs block j's AABB (scalar bounds broadcast)
         lo = [blocks_ref[j, k] for k in range(3)]
         hi = [blocks_ref[j, 3 + k] for k in range(3)]
@@ -281,18 +364,27 @@ def _mxu_kernel(edges_ref, plane_ref, nd_ref, blocks_ref, r6_ref, q4_ref, d_ref,
             t2 = (hi[k] - o3[k : k + 1]) * inv_d[k : k + 1]
             tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        best_t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
         live = (tmax >= tmin) & (tmax >= 0.0) & (tmin <= best_t)
-        return lax.cond(
+        best_key, best_blk = lax.cond(
             jnp.any(live),
-            lambda bt, bi: intersect_block(j, bt, bi),
-            lambda bt, bi: (bt, bi),
-            best_t,
-            best_i,
+            lambda bk, bb: intersect_block(j, bk, bb),
+            lambda bk, bb: (bk, bb),
+            best_key,
+            best_blk,
         )
+        return jj + 1, best_key, best_blk
 
-    best_t, best_i = jax.lax.fori_loop(0, num_tiles, body, (best_t, best_i))
-    best_t_ref[:] = best_t
-    best_i_ref[:] = best_i
+    def cond(state):
+        jj, best_key, _ = state
+        # visit order is ascending centroid distance; lodist[jj] is a
+        # lower bound on every REMAINING block's slab entry distance, so
+        # once all lanes hold a closer hit nothing ahead can matter
+        best_t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
+        return (jj < num_tiles) & (jnp.max(best_t) >= lodist_ref[pid, jj])
+
+    _, best_key, best_blk = lax.while_loop(cond, body, (0, best_key, best_blk))
+    finish(best_key, best_blk)
 
 
 def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = False) -> Hit:
@@ -302,46 +394,102 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
     n = ray_o.shape[0]
     r6, q4 = _ray_features(ray_o, ray_d)
 
-    np_pad = (-n) % RAY_TILE
+    tp = feats.edges.shape[-1]
+    multi = tp > TRI_TILE
+    ray_tile = RAY_TILE_MULTI if multi else RAY_TILE
+
+    np_pad = (-n) % ray_tile
     r6 = jnp.pad(r6, ((0, np_pad), (0, 0))).T  # [6, Np]
     q4 = jnp.pad(q4, ((0, np_pad), (0, 0))).T  # [4, Np]
     d = jnp.pad(ray_d, ((0, np_pad), (0, 0))).T  # [3, Np]
     n_pad = n + np_pad
 
-    tp = feats.edges.shape[-1]
     t_pad = (-tp) % min(TRI_TILE, tp) if tp >= TRI_TILE else 0
     edges = jnp.pad(feats.edges, ((0, 0), (0, 0), (0, t_pad)))
     plane = jnp.pad(feats.plane, ((0, 0), (0, t_pad)))
     nd = jnp.pad(feats.normal_d, ((0, 0), (0, t_pad)))
     blocks = feats.block_bounds
+    tpp = tp + t_pad
+    tri_tile = min(TRI_TILE, tpp)
+    num_tiles = tpp // tri_tile
+    ecat = build_ecat(edges, num_tiles, tri_tile)
+    pnd = build_pnd(plane, nd, num_tiles, tri_tile)
 
-    grid = (n_pad // RAY_TILE,)
-    full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+    grid = (n_pad // ray_tile,)
+    # index maps take *_ because the multi-block path adds scalar-prefetch
+    # operands, which PrefetchScalarGridSpec passes to every index_map
+    full = lambda *shape: pl.BlockSpec(shape, lambda i, *_: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    ray_spec = lambda k: pl.BlockSpec((k, RAY_TILE), lambda i: (0, i),
+    ray_spec = lambda k: pl.BlockSpec((k, ray_tile), lambda i, *_: (0, i),
                                       memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+    out_spec = pl.BlockSpec((1, ray_tile), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
 
-    best_t, best_i = pl.pallas_call(
-        _mxu_kernel,
-        grid=grid,
-        in_specs=[
-            full(3, 6, edges.shape[-1]),
-            full(4, edges.shape[-1]),
-            full(3, edges.shape[-1]),
-            full(*blocks.shape),
-            ray_spec(6),
-            ray_spec(4),
-            ray_spec(3),
-        ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-        ),
-        interpret=interpret,
-    )(edges, plane, nd, blocks, r6, q4, d)
+    in_specs = [
+        full(6, 3 * tpp),
+        full(21, 2 * tpp),
+        full(*blocks.shape),
+        ray_spec(6),
+        ray_spec(4),
+        ray_spec(3),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+    )
+    operands = [ecat, pnd, blocks, r6, q4, d]
+
+    if multi:
+        # per-tile front-to-back visit order + a conservative lower
+        # bound on the slab entry distance of each visited-or-later
+        # block.  With unit ray directions, a block's entry distance is
+        # at least ||tile centroid - block centroid|| - r_block - r_tile;
+        # the suffix-min over the visit order makes lodist[jj] a bound
+        # for EVERYTHING not yet visited, enabling early exit the moment
+        # every lane's best hit is closer.
+        g_tiles = n_pad // ray_tile
+        o_t = q4[:3].T.reshape(g_tiles, ray_tile, 3)
+        c_tile = o_t.mean(axis=1)  # [G, 3]
+        r_tile = jnp.sqrt(
+            jnp.max(jnp.sum((o_t - c_tile[:, None]) ** 2, axis=-1), axis=1)
+        )  # [G]
+        c_box = 0.5 * (blocks[:, :3] + blocks[:, 3:6])  # [B, 3]
+        r_box = 0.5 * jnp.sqrt(
+            jnp.sum((blocks[:, 3:6] - blocks[:, :3]) ** 2, axis=-1)
+        )  # [B]
+        dc = jnp.sqrt(
+            jnp.sum((c_tile[:, None, :] - c_box[None, :, :]) ** 2, axis=-1)
+        )  # [G, B]
+        perm = jnp.argsort(dc, axis=1).astype(jnp.int32)
+        bound = (
+            jnp.take_along_axis(dc - r_box[None, :], perm, axis=1)
+            - r_tile[:, None]
+        )
+        # suffix min: bound for every block at or after visit position jj
+        lodist = jnp.flip(
+            jax.lax.cummin(jnp.flip(bound, axis=1), axis=1), axis=1
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec, out_spec),
+        )
+        best_t, best_i = pl.pallas_call(
+            _mxu_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(perm, lodist, *operands)
+    else:
+        best_t, best_i = pl.pallas_call(
+            _mxu_kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*operands)
 
     best_t = best_t[0, :n]
     best_i = best_i[0, :n]

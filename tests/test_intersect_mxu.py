@@ -75,13 +75,15 @@ def test_mxu_matches_on_outdoor(rng):
 
 
 def test_pallas_kernel_matches_scan(rng):
+    # the pallas kernel's hit distance carries 24 significant bits (the
+    # low 8 carry the in-block argmin row) and its num/den run on the
+    # 3-term split-bf16 MXU path (~2^-16 relative): compare at that
+    # precision, not bit-for-bit
     g = cornell_geometry()
     ro, rd = camera_rays((0.0, 0.35, 0.0), (0.0, 0.0, 0.0), 50.0, 48, 48)
     h_ref = trace_mxu(g.feats, ro, rd)
     h_pal = trace_mxu_pallas(g.feats, ro, rd, interpret=True)
-    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_pal.hit))
-    np.testing.assert_allclose(np.asarray(h_ref.t), np.asarray(h_pal.t), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(h_ref.tri), np.asarray(h_pal.tri))
+    assert_hits_match(h_ref, h_pal, t_tol=5e-4)
 
 
 def test_pallas_kernel_ray_padding(rng):
@@ -90,8 +92,7 @@ def test_pallas_kernel_ray_padding(rng):
     ro, rd = random_rays(rng, n=301)
     h_ref = trace_mxu(build_tri_features(v0, v1, v2), ro, rd)
     h_pal = trace_mxu_pallas(build_tri_features(v0, v1, v2), ro, rd, interpret=True)
-    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_pal.hit))
-    np.testing.assert_array_equal(np.asarray(h_ref.tri), np.asarray(h_pal.tri))
+    assert_hits_match(h_ref, h_pal, t_tol=5e-4)
 
 
 def test_degenerate_triangles_never_hit(rng):
@@ -116,6 +117,4 @@ def test_pallas_block_culling_matches_scan(rng):
     ro, rd = random_rays(rng, n=700, scale=12.0)
     h_ref = trace_mxu(feats, ro, rd)
     h_pal = trace_mxu_pallas(feats, ro, rd, interpret=True)
-    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_pal.hit))
-    np.testing.assert_array_equal(np.asarray(h_ref.tri), np.asarray(h_pal.tri))
-    np.testing.assert_allclose(np.asarray(h_ref.t), np.asarray(h_pal.t), atol=1e-5)
+    assert_hits_match(h_ref, h_pal, t_tol=3e-3)  # t up to ~40 at 3e-5 rel
