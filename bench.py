@@ -276,16 +276,32 @@ def bench_reference_scenes():
             geom, cam = scene.geometry, scene.camera_params()
             key = jax.random.PRNGKey(0)
 
-            def run(k):
-                return render_radiance_jit(
-                    geom, materials, env, cam, k,
-                    height=res, width=res, spp=spp, max_bounce=mb,
-                    sun_enabled=sun,
-                )
+            # chunk the sample axis from the host: one monolithic XLA
+            # program running many minutes trips the TPU worker watchdog
+            # (FurnaceHD is 512^2 x 1000 spp), and chunking is also how
+            # the product renders (models/progressive.py)
+            chunk = spp
+            while chunk * res * res > 40 * 512 * 512 and chunk % 2 == 0:
+                chunk //= 2
 
-            run(key)  # compile
-            runs = 1 if spp * res * res > 300 * 512 * 512 else 2
-            dt = _time(run, jax.random.fold_in(key, 7), runs=runs)
+            def run(k):
+                acc = None
+                for c in range(spp // chunk):
+                    img = render_radiance_jit(
+                        geom, materials, env, cam, jax.random.fold_in(k, c),
+                        height=res, width=res, spp=chunk, max_bounce=mb,
+                        sun_enabled=sun,
+                    )
+                    acc = img if acc is None else acc + img
+                    float(jnp.sum(acc))  # keep the tunnel inside watchdog
+                return acc / (spp // chunk)
+
+            run(key)  # compile (also the warmup for the single-run workloads)
+            big = spp * res * res > 300 * 512 * 512
+            dt = _time(
+                run, jax.random.fold_in(key, 7),
+                runs=1 if big else 2, warmup=not big,
+            )
             _emit(
                 f"{tag}_forward_mrays_per_s",
                 _rays(res, spp, mb, sun=sun) / dt / 1e6,

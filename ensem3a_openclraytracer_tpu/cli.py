@@ -27,6 +27,25 @@ def _load_scene(path: str, use_bvh=None):
     return Scene.load(path, use_bvh=use_bvh)
 
 
+def _parse_mesh(spec):
+    """``--mesh dp,sp`` -> a (dp, sp) device mesh; ``--mesh auto`` uses
+    all local devices as pure data parallelism.  Returns None when the
+    flag was not given."""
+    if not spec:
+        return None
+    import jax
+
+    from ensem3a_openclraytracer_tpu.parallel.mesh import make_mesh
+
+    if spec == "auto":
+        return make_mesh(sp=1)
+    dp, sp = (int(x) for x in spec.split(","))
+    n = len(jax.devices())
+    if dp * sp > n:
+        raise SystemExit(f"--mesh {spec} needs {dp * sp} devices, have {n}")
+    return make_mesh(jax.devices()[: dp * sp], sp=sp)
+
+
 def cmd_render(args) -> int:
     import jax
     import numpy as np
@@ -36,9 +55,15 @@ def cmd_render(args) -> int:
         ProgressiveState,
     )
     from ensem3a_openclraytracer_tpu.utils.image import save_png
-    from ensem3a_openclraytracer_tpu.utils.profiling import RenderMetrics
+    from ensem3a_openclraytracer_tpu.utils.profiling import (
+        RenderMetrics,
+        StageTimer,
+        xla_trace,
+    )
 
-    sc = _load_scene(args.scene)
+    timer = StageTimer()
+    with timer.stage("scene_load"):
+        sc = _load_scene(args.scene)
     rs = sc.config.render_settings()
     res = args.resolution or rs.resolution
     spp = args.spp or rs.spp
@@ -47,52 +72,86 @@ def cmd_render(args) -> int:
     sun_enabled = float(env.sun_power) != 0.0
     lights = None
     nee = bool(getattr(args, "nee", False))
+    glass_mode = getattr(args, "glass", "tint")
     if nee:
         lights = sc.light_pack()
         if lights is None:
             print("warning: --nee requested but scene has no emissive faces; disabled")
             nee = False
 
-    chunk = min(args.chunk_spp, spp)
-    kw = dict(
-        height=res,
-        width=res,
-        max_bounce=max_bounce,
-        chunk_spp=chunk,
-        sun_enabled=sun_enabled,
-        lights=lights,
-        nee=nee,
-    )
-    ckpt = args.checkpoint
-    if ckpt and os.path.exists(ckpt) and not args.restart:
-        r = ProgressiveRenderer.resume(
-            ckpt, sc.geometry, sc.material_params(), env, sc.camera_params(), **kw
-        )
-        print(f"resumed at {r.state.spp_done} spp from {ckpt}")
-    else:
-        r = ProgressiveRenderer(
-            sc.geometry, sc.material_params(), env, sc.camera_params(),
-            base_seed=args.seed, **kw,
-        )
-
+    mesh = _parse_mesh(args.mesh)
+    if mesh is not None and nee:
+        print("warning: --nee is single-device only; ignoring it for the mesh render")
+        nee, lights = False, None
     t0 = time.time()
-    img = r.render(
-        spp,
-        checkpoint_path=ckpt,
-        progress=lambda done, total: print(f"  {done}/{total} spp", flush=True)
-        if args.verbose
-        else None,
-    )
+    if mesh is not None:
+        # one-shot sharded render over the (dp, sp) mesh (progressive
+        # checkpointing is the single-device path's job)
+        from ensem3a_openclraytracer_tpu.parallel.render import render_radiance_sharded
+
+        spp_done = spp
+        with xla_trace(args.profile), timer.stage("render"):
+            rad = render_radiance_sharded(
+                mesh, sc.geometry, sc.material_params(), env, sc.camera_params(),
+                jax.random.PRNGKey(args.seed),
+                height=res, width=res, spp=spp, max_bounce=max_bounce,
+                sun_enabled=sun_enabled,
+            )
+            img = jax.block_until_ready(jnp_clip_img(rad))
+    else:
+        chunk = min(args.chunk_spp, spp)
+        kw = dict(
+            height=res,
+            width=res,
+            max_bounce=max_bounce,
+            chunk_spp=chunk,
+            sun_enabled=sun_enabled,
+            lights=lights,
+            nee=nee,
+            glass_mode=glass_mode,
+        )
+        ckpt = args.checkpoint
+        with timer.stage("setup"):
+            if ckpt and os.path.exists(ckpt) and not args.restart:
+                r = ProgressiveRenderer.resume(
+                    ckpt, sc.geometry, sc.material_params(), env, sc.camera_params(), **kw
+                )
+                print(f"resumed at {r.state.spp_done} spp from {ckpt}")
+            else:
+                r = ProgressiveRenderer(
+                    sc.geometry, sc.material_params(), env, sc.camera_params(),
+                    base_seed=args.seed, **kw,
+                )
+        with xla_trace(args.profile), timer.stage("render"):
+            img = r.render(
+                spp,
+                checkpoint_path=ckpt,
+                progress=lambda done, total: print(f"  {done}/{total} spp", flush=True)
+                if args.verbose
+                else None,
+            )
+        spp_done = r.state.spp_done
     wall = time.time() - t0
     out = args.out or os.path.join("output", "out.png")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     from ensem3a_openclraytracer_tpu.ops.tonemap import postprocess
 
-    save_png(np.asarray(postprocess(img, mode=args.tonemap)), out)
-    m = RenderMetrics(wall, res, r.state.spp_done, max_bounce, sun_enabled)
-    print(f"rendered {res}x{res} @ {r.state.spp_done} spp in {wall:.2f}s "
+    with timer.stage("write"):
+        save_png(np.asarray(postprocess(img, mode=args.tonemap)), out)
+    m = RenderMetrics(wall, res, spp_done, max_bounce, sun_enabled)
+    print(f"rendered {res}x{res} @ {spp_done} spp in {wall:.2f}s "
           f"({m.mrays_per_s:.1f} Mrays/s) -> {out}")
+    if args.profile:
+        print(f"XLA trace -> {args.profile}")
+    if args.verbose:
+        print("stages:", timer.report())
     return 0
+
+
+def jnp_clip_img(rad):
+    import jax.numpy as jnp
+
+    return jnp.clip(rad, 0.0, 1.0)
 
 
 def cmd_optimize(args) -> int:
@@ -101,7 +160,10 @@ def cmd_optimize(args) -> int:
     import numpy as np
     import optax
 
-    from ensem3a_openclraytracer_tpu.models.optimize import make_train_step
+    from ensem3a_openclraytracer_tpu.models.optimize import (
+        make_train_step,
+        run_optimization,
+    )
     from ensem3a_openclraytracer_tpu.utils.image import load_png, save_png
 
     sc = _load_scene(args.scene)
@@ -114,19 +176,25 @@ def cmd_optimize(args) -> int:
             f"target is {target.shape[0]}x{target.shape[1]}, render is {res}x{res}; "
             "pass --resolution to match"
         )
+    mesh = _parse_mesh(args.mesh)
+    optimizer = optax.adam(args.lr)
     init, step = make_train_step(
         sc.geometry, sc.material_params(), env, sc.camera_params(),
-        optax.adam(args.lr),
+        optimizer,
         height=res, width=res, spp=args.spp, max_bounce=args.max_bounce,
         sun_enabled=float(env.sun_power) != 0.0,
+        mesh=mesh,
     )
-    params, opt_state = init()
-    key = jax.random.PRNGKey(args.seed)
-    for i in range(args.iters):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, target, sub)
-        if i % max(1, args.iters // 20) == 0 or i == args.iters - 1:
-            print(f"iter {i:4d}  loss {float(loss):.6f}", flush=True)
+    every = max(1, args.iters // 20)
+    params, opt_state, loss = run_optimization(
+        init, step, target, jax.random.PRNGKey(args.seed),
+        iters=args.iters, optimizer=optimizer,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        log=lambda i, l: print(f"iter {i:4d}  loss {l:.6f}", flush=True)
+        if (i % every == 0 or i == args.iters - 1)
+        else None,
+    )
 
     # write the fitted materials back to the scene config (UI round trip)
     if not args.dry_run:
@@ -155,9 +223,56 @@ def cmd_optimize(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if getattr(args, "scaling", False):
+        return cmd_bench_scaling(args)
     import bench as bench_mod  # repo-root bench.py is the single source of truth
 
     bench_mod.main()
+    return 0
+
+
+def cmd_bench_scaling(args) -> int:
+    """Mesh-shape sweep: render the procedural Cornell over every (dp, sp)
+    factorization of the available devices and report rays/s per shape
+    (the BASELINE.md >= 85% linear-scaling harness; runs on a virtual
+    CPU mesh today, real pod slices when they exist)."""
+    import time as _time
+
+    import jax
+
+    from ensem3a_openclraytracer_tpu.parallel.mesh import make_mesh
+    from ensem3a_openclraytracer_tpu.parallel.render import make_sharded_renderer
+    from ensem3a_openclraytracer_tpu.testing import make_cornell_scene
+    from ensem3a_openclraytracer_tpu.utils.profiling import rays_per_render
+
+    geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    res, spp, mb = args.resolution or 128, args.spp or 16, 4
+    n = len(jax.devices())
+    shapes = []
+    for sp in range(1, n + 1):
+        if n % sp == 0 and spp % sp == 0 and res % (n // sp) == 0:
+            shapes.append((n // sp, sp))
+    base = None
+    key = jax.random.PRNGKey(0)
+    for dp, sp in shapes:
+        mesh = make_mesh(sp=sp)
+        fn = make_sharded_renderer(
+            mesh, height=res, width=res, spp=spp, max_bounce=mb,
+            sun_enabled=False,
+        )
+        jax.block_until_ready(fn(geom, materials, env, camera, key))  # compile
+        t0 = _time.perf_counter()
+        jax.block_until_ready(fn(geom, materials, env, camera, key))
+        dt = _time.perf_counter() - t0
+        mrays = rays_per_render(res, spp, mb, False) / dt / 1e6
+        if base is None:
+            base = mrays
+        print(json.dumps({
+            "metric": f"scaling_dp{dp}_sp{sp}_mrays_per_s",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / base, 3),
+        }), flush=True)
     return 0
 
 
@@ -220,6 +335,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output transform (reference default: clamp)")
     r.add_argument("--nee", action="store_true",
                    help="next-event estimation (lower variance; needs emissive faces)")
+    r.add_argument("--glass", default="tint", choices=["tint", "refract"],
+                   help="glass model: reference straight-through tint, or "
+                        "physically-based refraction using the material ior")
+    r.add_argument("--mesh", help="(dp,sp) device mesh, e.g. 4,2 - or 'auto'")
+    r.add_argument("--profile", help="write a jax.profiler XLA trace to this dir")
     r.add_argument("--verbose", action="store_true")
     r.set_defaults(fn=cmd_render)
 
@@ -234,9 +354,16 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--seed", type=int, default=0)
     o.add_argument("--out", help="render the fitted scene to this PNG")
     o.add_argument("--dry-run", action="store_true", help="do not write the ini back")
+    o.add_argument("--checkpoint", help="optimizer .npz checkpoint (resume if exists)")
+    o.add_argument("--checkpoint-every", type=int, default=25, dest="checkpoint_every")
+    o.add_argument("--mesh", help="(dp,sp) device mesh, e.g. 4,2 - or 'auto'")
     o.set_defaults(fn=cmd_optimize)
 
     b = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    b.add_argument("--scaling", action="store_true",
+                   help="sweep (dp,sp) mesh shapes over available devices")
+    b.add_argument("--resolution", type=int)
+    b.add_argument("--spp", type=int)
     b.set_defaults(fn=cmd_bench)
 
     i = sub.add_parser("info", help="scene statistics as JSON")

@@ -12,10 +12,13 @@ by XLA when differentiating through ``shard_map``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+import os
+import tempfile
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
@@ -159,3 +162,95 @@ def make_train_step(
         return p, optimizer.init(p)
 
     return init, step
+
+
+# ---------------------------------------------------------------------------
+# Optimizer checkpointing: the inverse-rendering analog of the renderer's
+# progressive checkpoints (models/progressive.py).  The reference persists
+# only *state* (ini files), never computation (SURVEY.md section 5); here a
+# killed optimization resumes mid-run with the identical loss trajectory.
+# ---------------------------------------------------------------------------
+
+
+def save_optimizer_checkpoint(path, params, opt_state, iteration: int, key) -> None:
+    """Atomically persist ``(params, opt_state, iteration, key)`` as .npz.
+
+    Pytree leaves are stored by flattening order; the structures are
+    rebuilt at load time from a template (`optimizer.init`), so no
+    pickling of treedefs is needed."""
+    p_leaves = jax.tree.leaves(params)
+    o_leaves = jax.tree.leaves(opt_state)
+    payload = {f"p{i}": np.asarray(x) for i, x in enumerate(p_leaves)}
+    payload.update({f"o{i}": np.asarray(x) for i, x in enumerate(o_leaves)})
+    payload["iteration"] = np.asarray(iteration, np.int64)
+    payload["key"] = np.asarray(jax.random.key_data(key))
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)  # atomic: a crash never corrupts the file
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_optimizer_checkpoint(path, template_params: TrainableParams,
+                              optimizer: optax.GradientTransformation):
+    """Restore ``(params, opt_state, iteration, key)`` saved by
+    :func:`save_optimizer_checkpoint`.  ``template_params`` must have the
+    same structure/shapes as the saved run (same scene + trainables)."""
+    with np.load(path) as z:
+        p_treedef = jax.tree.structure(template_params)
+        n_p = p_treedef.num_leaves
+        p_leaves = [jnp.asarray(z[f"p{i}"]) for i in range(n_p)]
+        params = jax.tree.unflatten(p_treedef, p_leaves)
+        o_template = optimizer.init(params)
+        o_treedef = jax.tree.structure(o_template)
+        o_leaves = [
+            jnp.asarray(z[f"o{i}"]) for i in range(o_treedef.num_leaves)
+        ]
+        opt_state = jax.tree.unflatten(o_treedef, o_leaves)
+        iteration = int(z["iteration"])
+        key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+    return params, opt_state, iteration, key
+
+
+def run_optimization(
+    init,
+    step,
+    target,
+    key,
+    *,
+    iters: int,
+    optimizer: optax.GradientTransformation,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 25,
+    log: Optional[Callable[[int, float], None]] = None,
+):
+    """Drive ``step`` for ``iters`` iterations with resumable checkpoints.
+
+    Per-iteration keys are ``fold_in(key, i)``, so a run killed at
+    iteration k and resumed from its checkpoint consumes the exact same
+    random stream - the loss trajectory is bit-reproducible
+    (tests/test_optimize_checkpoint.py).  Returns
+    ``(params, opt_state, last_loss)``."""
+    params, opt_state = init()
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, start, key = load_optimizer_checkpoint(
+            checkpoint_path, params, optimizer
+        )
+    loss = None
+    for i in range(start, iters):
+        params, opt_state, loss = step(
+            params, opt_state, target, jax.random.fold_in(key, i)
+        )
+        if log is not None:
+            log(i, float(loss))
+        if checkpoint_path and (
+            (i + 1) % checkpoint_every == 0 or i == iters - 1
+        ):
+            save_optimizer_checkpoint(checkpoint_path, params, opt_state, i + 1, key)
+    return params, opt_state, loss

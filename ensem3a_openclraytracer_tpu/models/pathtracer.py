@@ -119,6 +119,8 @@ class _Surface(NamedTuple):
     mtype: jnp.ndarray  # [N] int32
     color: jnp.ndarray  # [N, 3]
     rough: jnp.ndarray  # [N] (emissive power for type 0)
+    ior: jnp.ndarray  # [N] (glass index of refraction; used when
+    #                   glass_mode == "refract", dead weight otherwise)
 
 
 def _gather_surface(geom, materials, origin, direction, hit: Hit) -> _Surface:
@@ -136,6 +138,7 @@ def _gather_surface(geom, materials, origin, direction, hit: Hit) -> _Surface:
             materials.mtype.astype(jnp.float32)[:, None],
             materials.color,
             materials.roughness[:, None],
+            materials.ior[:, None],
         ],
         axis=1,
     )
@@ -146,6 +149,7 @@ def _gather_surface(geom, materials, origin, direction, hit: Hit) -> _Surface:
         mtype=jnp.round(mrows[:, 0]).astype(jnp.int32),
         color=mrows[:, 1:4],
         rough=mrows[:, 4],
+        ior=mrows[:, 5],
     )
 
 
@@ -165,6 +169,7 @@ def radiance_for_rays(
     lights: Optional[LightPack] = None,
     nee: bool = False,
     fused: Optional[bool] = None,
+    glass_mode: str = "tint",
 ) -> jnp.ndarray:
     """Estimate radiance ``[N, 3]`` for an arbitrary primary-ray batch
     (unclamped mean over ``spp`` samples).  This is the shardable core:
@@ -217,11 +222,12 @@ def radiance_for_rays(
             and geom.feats.block_bounds.shape[0] == 1
             and uniforms is None
             and not nee
+            and glass_mode == "tint"
         )
     if fused:
         if geom.feats is None:
             raise ValueError("fused=True requires the MXU geometry path (feats)")
-        if nee or uniforms is not None:
+        if nee or uniforms is not None or glass_mode != "tint":
             raise ValueError("fused=True supports the BSDF-only threefry-free path")
         tri_attrs = fused_ops.build_tri_attrs(
             geom.n,
@@ -349,7 +355,8 @@ def radiance_for_rays(
 
         # sample the bounce and update throughput (Raytracing.cl:58-87)
         bdir, factor = sample_bounce(
-            surf.mtype, surf.color, surf.rough, in_dir, surf.n, u1, u2
+            surf.mtype, surf.color, surf.rough, in_dir, surf.n, u1, u2,
+            ior=surf.ior, glass_mode=glass_mode,
         )
         thr = jnp.where(live[:, None], thr * factor, thr)
 
@@ -390,6 +397,7 @@ def radiance_for_rays(
             mtype=jnp.where(live, new_surf.mtype, surf.mtype),
             color=jnp.where(lm, new_surf.color, surf.color),
             rough=jnp.where(live, new_surf.rough, surf.rough),
+            ior=jnp.where(live, new_surf.ior, surf.ior),
         )
         in_dir = jnp.where(lm, bdir, in_dir)
         return (live, thr, rad, in_dir, surf, emit_ok), None
@@ -465,6 +473,7 @@ def render_radiance(
     lights: Optional[LightPack] = None,
     nee: bool = False,
     fused: Optional[bool] = None,
+    glass_mode: str = "tint",
 ) -> jnp.ndarray:
     """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
     over ``spp`` samples) for a pinhole camera view."""
@@ -486,6 +495,7 @@ def render_radiance(
         lights=lights,
         nee=nee,
         fused=fused,
+        glass_mode=glass_mode,
     )
     return rad.reshape(height, width, 3)
 
@@ -507,6 +517,7 @@ render_radiance_jit = jax.jit(
         "ibl_bilinear",
         "nee",
         "fused",
+        "glass_mode",
     ),
 )
 
@@ -522,6 +533,7 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
     spp = int(overrides.get("spp", rs.spp))
     max_bounce = int(overrides.get("max_bounce", rs.max_bounce))
     nee = bool(overrides.get("nee", False))
+    glass_mode = str(overrides.get("glass_mode", "tint"))
     if key is None:
         key = jax.random.PRNGKey(0)
     env = scene.env_params()
@@ -544,5 +556,6 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
         sun_enabled=sun_enabled,
         lights=lights,
         nee=nee,
+        glass_mode=glass_mode,
     )
     return jnp.clip(radiance, 0.0, 1.0)

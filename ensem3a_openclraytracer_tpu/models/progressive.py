@@ -86,6 +86,7 @@ class ProgressiveRenderer:
         state: Optional[ProgressiveState] = None,
         lights=None,
         nee: bool = False,
+        glass_mode: str = "tint",
     ):
         self.geom = geom
         self.materials = materials
@@ -111,6 +112,7 @@ class ProgressiveRenderer:
                 sun_enabled=sun_enabled,
                 lights=lights,
                 nee=nee,
+                glass_mode=glass_mode,
             ),
             static_argnames=(),
         )

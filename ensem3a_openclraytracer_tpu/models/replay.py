@@ -97,6 +97,7 @@ def record_paths(
     max_bounce: int,
     sun_enabled: bool,
     uniforms: Optional[jnp.ndarray] = None,
+    glass_mode: str = "tint",
 ) -> PathRecords:
     """Trace all paths once; no differentiable parameter participates.
 
@@ -109,7 +110,9 @@ def record_paths(
     uniforms = jax.lax.stop_gradient(uniforms)
 
     face_rows = _face_geom_rows(geom)
-    mtype_tab = materials.mtype.astype(jnp.int32)
+    mtype_tab = jnp.stack(
+        [materials.mtype.astype(jnp.float32), materials.ior], axis=1
+    )  # [M, 2]
 
     primary_hit = trace(geom, ray_o, ray_d)
     primary_tri = jnp.where(primary_hit.hit, primary_hit.tri, -1)
@@ -119,15 +122,16 @@ def record_paths(
         rows = gather_rows(face_rows, jnp.maximum(tri, 0))
         n = rows[:, :3]
         midx = jnp.round(rows[:, 3]).astype(jnp.int32)
-        mt = gather_rows(mtype_tab[:, None], midx)[:, 0]
-        return origin + direction * hit_t[:, None], n, mt
+        mrow = gather_rows(mtype_tab, midx)
+        mt = jnp.round(mrow[:, 0]).astype(jnp.int32)
+        return origin + direction * hit_t[:, None], n, mt, mrow[:, 1]
 
     def one_sample(us):
-        p, n, mt = surf_of(ray_o, ray_d, primary_hit.t, primary_tri)
+        p, n, mt, ior = surf_of(ray_o, ray_d, primary_hit.t, primary_tri)
         live = primary_hit.hit
 
         def bounce(carry, u):
-            p, n, mt, in_dir, live = carry
+            p, n, mt, ior, in_dir, live = carry
             u1, u2 = u[:, 0], u[:, 1]
             emis = live & (mt == EMISSIVE)
             live = live & ~emis
@@ -135,7 +139,8 @@ def record_paths(
             # color/roughness inputs are dummies (zeros): sample_bounce's
             # direction branch never reads them
             zero3 = jnp.zeros_like(p)
-            bdir, _ = sample_bounce(mt, zero3, zero3[:, 0], in_dir, n, u1, u2)
+            bdir, _ = sample_bounce(mt, zero3, zero3[:, 0], in_dir, n, u1, u2,
+                                    ior=ior, glass_mode=glass_mode)
             hit = trace(geom, p, bdir)
             tri_rec = jnp.where(hit.hit, hit.tri, -1)
             if sun_enabled:
@@ -144,15 +149,16 @@ def record_paths(
             else:
                 sun_rec = jnp.full_like(tri_rec, -1)
             live = live & hit.hit
-            np_, nn, nmt = surf_of(p, bdir, hit.t, tri_rec)
+            np_, nn, nmt, nior = surf_of(p, bdir, hit.t, tri_rec)
             lm = live[:, None]
             p = jnp.where(lm, np_, p)
             n = jnp.where(lm, nn, n)
             mt = jnp.where(live, nmt, mt)
+            ior = jnp.where(live, nior, ior)
             in_dir = jnp.where(lm, bdir, in_dir)
-            return (p, n, mt, in_dir, live), (tri_rec, sun_rec)
+            return (p, n, mt, ior, in_dir, live), (tri_rec, sun_rec)
 
-        carry0 = (p, n, mt, ray_d, live)
+        carry0 = (p, n, mt, ior, ray_d, live)
         _, (tris, sun_tris) = jax.lax.scan(bounce, carry0, us)
         return tris, sun_tris
 
@@ -176,46 +182,56 @@ def replay_radiance(
     *,
     sun_enabled: bool,
     ibl_bilinear: bool = True,
+    glass_mode: str = "tint",
 ) -> jnp.ndarray:
     """Differentiable radiance ``[N, 3]`` from recorded paths - pure
     shading: gathers + elementwise math, no intersection tests.
 
     Reproduces the scan estimator bounce-for-bounce (pathtracer.py
     ``bounce_step``, BSDF-only path), with hit/miss decisions read from
-    the records instead of traced."""
+    the records instead of traced.
+
+    Backward-pass engineering (this is the fwd+bwd hot path):
+      * geometry-derived lookups (normal, material type, ior) carry no
+        gradient - they use native gathers under ``stop_gradient``; only
+        the small ``[M, 4]`` (color | roughness) table goes through the
+        differentiable one-hot-matmul gather;
+      * a path escapes at most once, so the environment (IBL + sun) is
+        NOT evaluated per bounce: each sample emits an escape record
+        ``(esc_thr, esc_dir, esc_sun_tri, esc_glass)`` and ONE batched
+        ``[spp * N]`` IBL lookup (and one gather for sun occluders) runs
+        outside the per-sample checkpoint - the IBL-texel gradient then
+        costs a single scatter-add instead of spp * bounces of them."""
     n_rays = ray_d.shape[0]
-    face_rows = _face_geom_rows(geom)
-    mat_rows = jnp.concatenate(
-        [
-            materials.mtype.astype(jnp.float32)[:, None],
-            materials.color,
-            materials.roughness[:, None],
-        ],
-        axis=1,
-    )
+    spp = records.u.shape[0]
+    geo_n = jax.lax.stop_gradient(geom.n)  # [T, 3] no-grad constants
+    face_mat = geom.mat  # [T] int32
+    mtype_tab = materials.mtype  # [M] int32
+    ior_tab = jax.lax.stop_gradient(materials.ior)
+    colrough = jnp.concatenate(
+        [materials.color, materials.roughness[:, None]], axis=1
+    )  # [M, 4] - the differentiable table
 
     def surf_of(tri):
-        rows = gather_rows(face_rows, jnp.maximum(tri, 0))
-        n = rows[:, :3]
-        midx = jnp.round(rows[:, 3]).astype(jnp.int32)
-        mrows = gather_rows(mat_rows, midx)
-        mt = jnp.round(mrows[:, 0]).astype(jnp.int32)
-        return n, mt, mrows[:, 1:4], mrows[:, 4]
+        ti = jnp.maximum(tri, 0)
+        midx = face_mat[ti]
+        cr = gather_rows(colrough, midx)
+        return geo_n[ti], mtype_tab[midx], cr[:, :3], cr[:, 3], ior_tab[midx]
 
     env_radiance = lambda d: sample_ibl(env.ibl, d, bilinear=ibl_bilinear) * env.ibl_power
-    sun_dir_v = sun_direction(env.sun_angles_deg)
 
     primary_live = records.primary_tri >= 0
     primary_miss_rad = jnp.where(
         primary_live[:, None], 0.0, env_radiance(ray_d)
     )
-    pn, pmt, pcol, prough = surf_of(records.primary_tri)
+    pn, pmt, pcol, prough, pior = surf_of(records.primary_tri)
 
     def one_sample(xs):
         us, tris, sun_tris = xs
 
         def bounce(carry, x):
-            live, thr, rad, in_dir, n, mt, col, rough = carry
+            (live, thr, rad, in_dir, n, mt, col, rough, ior,
+             esc_thr, esc_dir, esc_sun, esc_glass) = carry
             u, tri, sun_tri = x
             u1, u2 = u[:, 0], u[:, 1]
 
@@ -223,34 +239,31 @@ def replay_radiance(
             rad = rad + jnp.where(emis[:, None], thr * rough[:, None], 0.0)
             live = live & ~emis
 
-            bdir, factor = sample_bounce(mt, col, rough, in_dir, n, u1, u2)
+            bdir, factor = sample_bounce(mt, col, rough, in_dir, n, u1, u2,
+                                         ior=ior, glass_mode=glass_mode)
             thr = jnp.where(live[:, None], thr * factor, thr)
 
             hit = tri >= 0
             miss = live & ~hit
-            env_light = env_radiance(bdir)
-            if sun_enabled:
-                s_hit = sun_tri >= 0
-                _, s_mt, s_col, _ = surf_of(sun_tri)
-                unocc = (~s_hit) & (mt != GLASS)
-                glass_occ = s_hit & (s_mt == GLASS)
-                sun_light = (
-                    unocc[:, None].astype(jnp.float32) * env.sun_power
-                    + glass_occ[:, None].astype(jnp.float32) * s_col * env.sun_power
-                )
-            else:
-                sun_light = jnp.zeros_like(env_light)
-            rad = rad + jnp.where(miss[:, None], thr * (sun_light + env_light), 0.0)
+            # escape record: at most one escape per path; environment and
+            # sun light are applied to it AFTER the sample loop
+            mm = miss[:, None]
+            esc_thr = jnp.where(mm, thr, esc_thr)
+            esc_dir = jnp.where(mm, bdir, esc_dir)
+            esc_sun = jnp.where(miss, sun_tri, esc_sun)
+            esc_glass = jnp.where(miss, mt == GLASS, esc_glass)
             live = live & hit
 
-            nn, nmt, ncol, nrough = surf_of(tri)
+            nn, nmt, ncol, nrough, nior = surf_of(tri)
             lm = live[:, None]
             n = jnp.where(lm, nn, n)
             mt = jnp.where(live, nmt, mt)
             col = jnp.where(lm, ncol, col)
             rough = jnp.where(live, nrough, rough)
+            ior = jnp.where(live, nior, ior)
             in_dir = jnp.where(lm, bdir, in_dir)
-            return (live, thr, rad, in_dir, n, mt, col, rough), None
+            return (live, thr, rad, in_dir, n, mt, col, rough, ior,
+                    esc_thr, esc_dir, esc_sun, esc_glass), None
 
         carry0 = (
             primary_live,
@@ -261,29 +274,55 @@ def replay_radiance(
             pmt,
             pcol,
             prough,
+            pior,
+            jnp.zeros_like(ray_d),  # esc_thr (0 => contributes nothing)
+            jnp.zeros_like(ray_d).at[:, 2].set(1.0),  # esc_dir (+z, NaN-free)
+            jnp.full((n_rays,), -1, jnp.int32),  # esc_sun
+            jnp.zeros((n_rays,), bool),  # esc_glass
         )
-        (live, thr, rad, _, n, mt, col, rough), _ = jax.lax.scan(
+        (live, thr, rad, _, n, mt, col, rough, _,
+         esc_thr, esc_dir, esc_sun, esc_glass), _ = jax.lax.scan(
             bounce, carry0, (us, tris, sun_tris)
         )
         final_emis = live & (mt == EMISSIVE)
         rad = rad + jnp.where(final_emis[:, None], thr * rough[:, None], 0.0)
-        return rad
+        return rad, esc_thr, esc_dir, esc_sun, esc_glass
 
     # checkpoint: backward recomputes the (cheap, trace-free) replay per
     # sample instead of saving every bounce's intermediates
     one_sample = jax.checkpoint(one_sample)
 
     def spp_step(acc, xs):
-        return acc + one_sample(xs), None
+        rad, esc_thr, esc_dir, esc_sun, esc_glass = one_sample(xs)
+        return acc + rad, (esc_thr, esc_dir, esc_sun, esc_glass)
 
-    acc, _ = jax.lax.scan(
+    acc, (esc_thr, esc_dir, esc_sun, esc_glass) = jax.lax.scan(
         spp_step,
         jnp.zeros_like(ray_d),
         (records.u, records.tri, records.sun_tri),
     )
+
+    # one batched environment pass for every sample's escape
+    f = lambda x: x.reshape(spp * n_rays, *x.shape[2:])
+    esc_thr, esc_dir = f(esc_thr), f(esc_dir)
+    esc_sun, esc_glass = f(esc_sun), f(esc_glass)
+    esc_light = env_radiance(esc_dir)
+    if sun_enabled:
+        s_hit = esc_sun >= 0
+        smidx = face_mat[jnp.maximum(esc_sun, 0)]
+        s_mt = mtype_tab[smidx]
+        s_col = gather_rows(colrough, smidx)[:, :3]
+        unocc = (~s_hit) & ~esc_glass
+        glass_occ = s_hit & (s_mt == GLASS)
+        esc_light = esc_light + (
+            unocc[:, None].astype(jnp.float32) * env.sun_power
+            + glass_occ[:, None].astype(jnp.float32) * s_col * env.sun_power
+        )
+    esc_rad = (esc_thr * esc_light).reshape(spp, n_rays, 3).sum(axis=0)
+
     # primary_miss_rad is already inside every sample's carry (exactly the
     # scan estimator's accounting, pathtracer.one_sample)
-    return acc / records.u.shape[0]
+    return (acc + esc_rad) / spp
 
 
 def radiance_for_rays_replay(
@@ -299,6 +338,7 @@ def radiance_for_rays_replay(
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
+    glass_mode: str = "tint",
 ) -> jnp.ndarray:
     """Drop-in differentiable replacement for
     ``radiance_for_rays(..., fused=False, nee=False)``: same estimator,
@@ -306,11 +346,12 @@ def radiance_for_rays_replay(
     records = record_paths(
         geom, materials, env, ray_o, ray_d, key,
         spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
-        uniforms=uniforms,
+        uniforms=uniforms, glass_mode=glass_mode,
     )
     return replay_radiance(
         records, geom, materials, env, ray_d,
         sun_enabled=sun_enabled, ibl_bilinear=ibl_bilinear,
+        glass_mode=glass_mode,
     )
 
 
@@ -328,6 +369,7 @@ def render_radiance_replay(
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
+    glass_mode: str = "tint",
 ) -> jnp.ndarray:
     """Differentiable radiance image ``[H, W, 3]`` via path replay."""
     ray_o, ray_d = camera_rays(
@@ -336,6 +378,6 @@ def render_radiance_replay(
     rad = radiance_for_rays_replay(
         geom, materials, env, ray_o, ray_d, key,
         spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
-        ibl_bilinear=ibl_bilinear, uniforms=uniforms,
+        ibl_bilinear=ibl_bilinear, uniforms=uniforms, glass_mode=glass_mode,
     )
     return rad.reshape(height, width, 3)

@@ -77,7 +77,39 @@ def eval_glass(color):
     return color
 
 
-def sample_bounce(mat_type, color, roughness, in_dir, n, u1, u2):
+def sample_glass_refract(in_dir, n, ior, u1):
+    """Physically-based glass: Snell refraction + Schlick-Fresnel
+    reflect/refract choice + total internal reflection.
+
+    The reference carries ``ior`` in its material ABI but never uses it -
+    its glass is a straight-through tint (MathLib.cl:391-395, :509-512).
+    This is the capability upgrade behind ``glass_mode="refract"``.
+
+    ``in_dir`` points INTO the surface; ``n`` is the outward normal.
+    ``u1`` is the Fresnel coin (the lobe pdf cancels the Fresnel weight,
+    so throughput stays the plain color tint)."""
+    cos_raw = dot(in_dir, n)
+    entering = cos_raw < 0.0
+    n_eff = jnp.where(entering[..., None], n, -n)
+    ci = jnp.clip(-dot(in_dir, n_eff), 0.0, 1.0)
+    eta = jnp.where(entering, 1.0 / ior, ior)
+    k = 1.0 - eta * eta * (1.0 - ci * ci)
+    tir = k < 0.0
+    ct = jnp.sqrt(jnp.maximum(k, 0.0))
+    refr = in_dir * eta[..., None] + n_eff * (eta * ci - ct)[..., None]
+    refl = in_dir + n_eff * (2.0 * ci)[..., None]
+    # exact unpolarized dielectric Fresnel (Schlick misbehaves at
+    # ior -> 1: its (1-ci)^5 tail never vanishes, so ior=1 glass would
+    # still reflect; the exact form degenerates to F = 0 there)
+    rs = (eta * ci - ct) / jnp.maximum(eta * ci + ct, 1e-12)
+    rp = (eta * ct - ci) / jnp.maximum(eta * ct + ci, 1e-12)
+    fres = 0.5 * (rs * rs + rp * rp)
+    reflect = tir | (u1 < fres)
+    return jnp.where(reflect[..., None], refl, normalize(refr))
+
+
+def sample_bounce(mat_type, color, roughness, in_dir, n, u1, u2,
+                  ior=None, glass_mode: str = "tint"):
     """Sample the bounce direction and per-bounce throughput factor.
 
     Vectorized over lanes.  ``in_dir`` is the (unit) direction of the
@@ -89,6 +121,10 @@ def sample_bounce(mat_type, color, roughness, in_dir, n, u1, u2):
     (Raytracing.cl:86-87), i.e. the multiplicative throughput update.
     Emissive lanes are terminated by the caller before sampling; they
     receive the diffuse lobe here, which is ignored.
+
+    ``glass_mode`` (static): "tint" reproduces the reference's
+    straight-through glass; "refract" uses :func:`sample_glass_refract`
+    with per-lane ``ior`` (required).  Both keep ``factor = color``.
     """
     # Fused hemisphere lobes: one tangent frame + one sin/cos pair feeds
     # both the cosine (diffuse) and uniform (glossy) samples - the same
@@ -114,7 +150,12 @@ def sample_bounce(mat_type, color, roughness, in_dir, n, u1, u2):
         + n * cos_u[..., None]
     )
     invpdf_unif = 2.0 * PI
-    d_glass, _ = sample_glass(in_dir)
+    if glass_mode == "refract":
+        if ior is None:
+            raise ValueError("glass_mode='refract' requires per-lane ior")
+        d_glass = sample_glass_refract(in_dir, n, ior, u1)
+    else:
+        d_glass, _ = sample_glass(in_dir)
 
     is_glossy = mat_type == GLOSSY
     is_glass = mat_type == GLASS

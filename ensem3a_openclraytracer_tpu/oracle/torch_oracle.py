@@ -156,6 +156,28 @@ def eval_ggx(color, roughness, v, l, n):
     return kd[..., None] * color / PI + specular[..., None]
 
 
+def sample_glass_refract(in_dir, n, ior, u1):
+    """Snell + Schlick-Fresnel glass (the glass_mode="refract" upgrade);
+    independent torch derivation of ops/bsdf.sample_glass_refract."""
+    cos_raw = (in_dir * n).sum(-1)
+    entering = cos_raw < 0.0
+    n_eff = torch.where(entering[..., None], n, -n)
+    ci = (-(in_dir * n_eff).sum(-1)).clamp(0.0, 1.0)
+    eta = torch.where(entering, 1.0 / ior, ior)
+    k = 1.0 - eta * eta * (1.0 - ci * ci)
+    tir = k < 0.0
+    ct = k.clamp(min=0.0).sqrt()
+    refr = in_dir * eta[..., None] + n_eff * (eta * ci - ct)[..., None]
+    refr = refr / refr.norm(dim=-1, keepdim=True).clamp(min=1e-20)
+    refl = in_dir + n_eff * (2.0 * ci)[..., None]
+    # exact unpolarized dielectric Fresnel (see ops/bsdf.py note)
+    rs = (eta * ci - ct) / (eta * ci + ct).clamp(min=1e-12)
+    rp = (eta * ct - ci) / (eta * ct + ci).clamp(min=1e-12)
+    fres = 0.5 * (rs * rs + rp * rp)
+    reflect = tir | (u1 < fres)
+    return torch.where(reflect[..., None], refl, refr)
+
+
 def spherical_uv(d):
     d = d / d.norm(dim=-1, keepdim=True)
     rx, ry, rz = d[..., 1], -d[..., 2], -d[..., 0]
@@ -200,6 +222,7 @@ def render_radiance_torch(
     mtype,
     color,
     roughness,
+    ior,
     sun_angles_deg,
     sun_power,
     ibl_power,
@@ -213,6 +236,7 @@ def render_radiance_torch(
     width: int,
     max_bounce: int,
     sun_enabled: bool = True,
+    glass_mode: str = "tint",
 ):
     """Radiance image ``[H, W, 3]`` as a torch tensor (autograd-ready).
 
@@ -222,6 +246,7 @@ def render_radiance_torch(
     stream handed to the JAX estimator.
     """
     v0, v1, v2, face_n = _f32(v0), _f32(v1), _f32(v2), _f32(face_n)
+    ior = _f32(ior)
     face_mat = torch.as_tensor(np.asarray(face_mat, np.int64))
     mtype_t = torch.as_tensor(np.asarray(mtype, np.int64))
     uniforms = _f32(uniforms)
@@ -239,6 +264,7 @@ def render_radiance_torch(
             "mtype": mtype_t[midx],
             "color": color[midx],
             "rough": roughness[midx],
+            "ior": ior[midx],
         }
 
     env_radiance = lambda d: sample_ibl(ibl, d) * ibl_power
@@ -266,9 +292,13 @@ def render_radiance_torch(
             d_unif, ip_unif = sample_uniform(surf["n"], u1, u2)
             is_glossy = surf["mtype"] == GLOSSY
             is_glass = surf["mtype"] == GLASS
+            if glass_mode == "refract":
+                d_glass = sample_glass_refract(in_dir, surf["n"], surf["ior"], u1)
+            else:
+                d_glass = in_dir
             bdir = torch.where(
                 is_glass[:, None],
-                in_dir,
+                d_glass,
                 torch.where(is_glossy[:, None], d_unif, d_diff),
             ).detach()
             cos_abs = (bdir * surf["n"]).sum(-1).abs()
@@ -313,6 +343,7 @@ def render_radiance_torch(
                 "mtype": torch.where(live, new_surf["mtype"], surf["mtype"]),
                 "color": torch.where(lm, new_surf["color"], surf["color"]),
                 "rough": torch.where(live, new_surf["rough"], surf["rough"]),
+                "ior": torch.where(live, new_surf["ior"], surf["ior"]),
             }
             in_dir = torch.where(lm, bdir, in_dir)
 
@@ -326,7 +357,8 @@ def render_radiance_torch(
 
 
 def render_scene_arrays(geom, materials, env, camera, uniforms, *, height, width,
-                        max_bounce, sun_enabled=True, requires_grad=False):
+                        max_bounce, sun_enabled=True, requires_grad=False,
+                        glass_mode="tint"):
     """Convenience wrapper taking the JAX pytrees (converted via numpy).
 
     Returns ``(image, params)`` where ``params`` is the dict of leaf
@@ -343,11 +375,13 @@ def render_scene_arrays(geom, materials, env, camera, uniforms, *, height, width
         np.asarray(geom.n), np.asarray(geom.mat),
         np.asarray(materials.mtype),
         params["color"], params["roughness"],
+        np.asarray(materials.ior),
         np.asarray(env.sun_angles_deg), params["sun_power"],
         params["ibl_power"], params["ibl"],
         np.asarray(camera.position), np.asarray(camera.rotation_deg),
         np.asarray(camera.fov_deg),
         uniforms,
         height=height, width=width, max_bounce=max_bounce, sun_enabled=sun_enabled,
+        glass_mode=glass_mode,
     )
     return img, params
