@@ -67,13 +67,6 @@ class PathRecords(NamedTuple):
     primary_tri: jnp.ndarray  # [N] int32 cached primary hit
 
 
-def _face_geom_rows(geom: GeometryPack) -> jnp.ndarray:
-    """[T, 4] per-face (normal, material-id) gather table."""
-    return jnp.concatenate(
-        [geom.n, geom.mat.astype(jnp.float32)[:, None]], axis=1
-    )
-
-
 def _sample_uniforms(key: jax.Array, spp: int, max_bounce: int, n: int):
     """The scan estimator's exact stream: per-sample threefry keys, each
     folded with 0 before drawing [B+1, N, 2] (pathtracer.one_sample)."""
@@ -109,22 +102,28 @@ def record_paths(
         uniforms = _sample_uniforms(key, spp, max_bounce, n_rays)
     uniforms = jax.lax.stop_gradient(uniforms)
 
-    face_rows = _face_geom_rows(geom)
-    mtype_tab = jnp.stack(
-        [materials.mtype.astype(jnp.float32), materials.ior], axis=1
-    )  # [M, 2]
+    # one pre-joined constant per-face table: a single row gather per
+    # bounce step (native per-lane gathers cost ~340 us each on TPU)
+    midx_pf = geom.mat
+    rec_tab = jnp.concatenate(
+        [
+            geom.n,
+            materials.mtype.astype(jnp.float32)[midx_pf][:, None],
+            materials.ior[midx_pf][:, None],
+        ],
+        axis=1,
+    )  # [T, 5]
+    rec_tab = jax.lax.stop_gradient(rec_tab)
 
     primary_hit = trace(geom, ray_o, ray_d)
     primary_tri = jnp.where(primary_hit.hit, primary_hit.tri, -1)
     sun_dir = jnp.broadcast_to(sun_direction(env.sun_angles_deg), (n_rays, 3))
 
     def surf_of(origin, direction, hit_t, tri):
-        rows = gather_rows(face_rows, jnp.maximum(tri, 0))
+        rows = gather_rows(rec_tab, jnp.maximum(tri, 0))
         n = rows[:, :3]
-        midx = jnp.round(rows[:, 3]).astype(jnp.int32)
-        mrow = gather_rows(mtype_tab, midx)
-        mt = jnp.round(mrow[:, 0]).astype(jnp.int32)
-        return origin + direction * hit_t[:, None], n, mt, mrow[:, 1]
+        mt = jnp.round(rows[:, 3]).astype(jnp.int32)
+        return origin + direction * hit_t[:, None], n, mt, rows[:, 4]
 
     def one_sample(us):
         p, n, mt, ior = surf_of(ray_o, ray_d, primary_hit.t, primary_tri)
@@ -204,19 +203,31 @@ def replay_radiance(
         costs a single scatter-add instead of spp * bounces of them."""
     n_rays = ray_d.shape[0]
     spp = records.u.shape[0]
-    geo_n = jax.lax.stop_gradient(geom.n)  # [T, 3] no-grad constants
-    face_mat = geom.mat  # [T] int32
-    mtype_tab = materials.mtype  # [M] int32
-    ior_tab = jax.lax.stop_gradient(materials.ior)
-    colrough = jnp.concatenate(
-        [materials.color, materials.roughness[:, None]], axis=1
-    )  # [M, 4] - the differentiable table
+    # ONE pre-joined per-face table (the fused kernel's build_tri_attrs
+    # trick): native per-lane gathers cost ~340 us each on TPU and the
+    # round-1 replay paid four per bounce step - a single one-hot-matmul
+    # row gather fetches normal + material record together, and its
+    # transpose (the color/roughness gradient) is a single matmul too.
+    # Non-differentiable columns are detached; AD routes the color/rough
+    # cotangents back through the concatenate.
+    midx_per_face = geom.mat
+    face_tab = jnp.concatenate(
+        [
+            jax.lax.stop_gradient(geom.n),  # 0:3 shading normal
+            jax.lax.stop_gradient(
+                materials.mtype.astype(jnp.float32)
+            )[midx_per_face][:, None],  # 3 material type
+            materials.color[midx_per_face],  # 4:7
+            materials.roughness[midx_per_face][:, None],  # 7
+            jax.lax.stop_gradient(materials.ior)[midx_per_face][:, None],  # 8
+        ],
+        axis=1,
+    )  # [T, 9]
 
     def surf_of(tri):
-        ti = jnp.maximum(tri, 0)
-        midx = face_mat[ti]
-        cr = gather_rows(colrough, midx)
-        return geo_n[ti], mtype_tab[midx], cr[:, :3], cr[:, 3], ior_tab[midx]
+        rows = gather_rows(face_tab, jnp.maximum(tri, 0))
+        mt = jnp.round(rows[:, 3]).astype(jnp.int32)
+        return rows[:, 0:3], mt, rows[:, 4:7], rows[:, 7], rows[:, 8]
 
     env_radiance = lambda d: sample_ibl(env.ibl, d, bilinear=ibl_bilinear) * env.ibl_power
 
@@ -280,10 +291,15 @@ def replay_radiance(
             jnp.full((n_rays,), -1, jnp.int32),  # esc_sun
             jnp.zeros((n_rays,), bool),  # esc_glass
         )
+        # unrolled bounce loop (max_bounce + 1 is small and static): a
+        # lax.scan here would stack per-bounce residuals with
+        # dynamic_update_slice for its backward sweep - unrolled, the
+        # residuals are plain SSA values and XLA fuses across bounces
+        state = carry0
+        for j in range(us.shape[0]):
+            state, _ = bounce(state, (us[j], tris[j], sun_tris[j]))
         (live, thr, rad, _, n, mt, col, rough, _,
-         esc_thr, esc_dir, esc_sun, esc_glass), _ = jax.lax.scan(
-            bounce, carry0, (us, tris, sun_tris)
-        )
+         esc_thr, esc_dir, esc_sun, esc_glass) = state
         final_emis = live & (mt == EMISSIVE)
         rad = rad + jnp.where(final_emis[:, None], thr * rough[:, None], 0.0)
         return rad, esc_thr, esc_dir, esc_sun, esc_glass
@@ -309,9 +325,7 @@ def replay_radiance(
     esc_light = env_radiance(esc_dir)
     if sun_enabled:
         s_hit = esc_sun >= 0
-        smidx = face_mat[jnp.maximum(esc_sun, 0)]
-        s_mt = mtype_tab[smidx]
-        s_col = gather_rows(colrough, smidx)[:, :3]
+        _, s_mt, s_col, _, _ = surf_of(esc_sun)
         unocc = (~s_hit) & ~esc_glass
         glass_occ = s_hit & (s_mt == GLASS)
         esc_light = esc_light + (

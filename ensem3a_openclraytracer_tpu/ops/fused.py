@@ -9,8 +9,11 @@ state -> radiance) for a tile of rays entirely on-chip:
   * scene intersection features stay VMEM-resident (TriFeatures +
     an [8, Tp] per-triangle attribute table: normal, material type,
     color, roughness - material records pre-joined per face);
-  * the bounce loop is a static Python loop over ``max_bounce + 1``
-    (bounces are inherently sequential, SURVEY.md section 5);
+  * the bounce loop is sequential (SURVEY.md section 5): a static
+    Python loop over ``max_bounce + 1`` for single-tile scenes, a rolled
+    ``lax.fori_loop`` for multi-block scenes (unrolling a body that
+    itself contains the block-traversal loop multiplies Mosaic compile
+    time);
   * closest-hit uses the same Plucker/plane tests as ops/intersect_mxu
     with packed int32 (t | row) single-reduction min - the in-tile
     argmin row doubles as a one-hot (keys are unique per row), so the

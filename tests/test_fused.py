@@ -100,3 +100,32 @@ def test_fused_rejects_bad_configs():
             geom, materials, env, ray_o, ray_d, jax.random.PRNGKey(0),
             spp=1, max_bounce=1, sun_enabled=False, fused=True,
         )
+
+
+def test_merged_operand_branch_matches_unmerged():
+    """ADVICE round-1: the merged single-matmul branch (num_tiles == 1
+    and 5 * tri_tile <= 128) rewires operand packing and kernel ref
+    unpacking; assert it is bit-identical to the non-merged path on the
+    same stream.  A 14-tri scene pads to 16 (merged on); rebuilding the
+    features at pad_to=32 keeps the same geometry but forces 5*32 > 128
+    (merged off)."""
+    from ensem3a_openclraytracer_tpu.ops.intersect_mxu import build_tri_features
+
+    geom, materials, env, camera = make_outdoor_scene(n_cubes=1, use_bvh=False)
+    assert geom.feats.edges.shape[-1] == 16  # 14 tris -> sublane pad 16
+    res, mb = 16, 2
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, res, res
+    )
+    uniforms = jax.random.uniform(
+        jax.random.PRNGKey(3), (mb + 1, ray_o.shape[0], 2)
+    )
+    v = [np.asarray(x) for x in (geom.v0, geom.v1, geom.v2)]
+    geom_unmerged = geom._replace(feats=build_tri_features(*v, pad_to=32))
+    assert 5 * geom_unmerged.feats.edges.shape[-1] > 128
+
+    out_m = _fused_radiance(geom, materials, env, ray_o, ray_d, uniforms,
+                            max_bounce=mb, sun_enabled=True)
+    out_u = _fused_radiance(geom_unmerged, materials, env, ray_o, ray_d,
+                            uniforms, max_bounce=mb, sun_enabled=True)
+    np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_u))
