@@ -285,6 +285,9 @@ def bench_reference_scenes():
                 chunk //= 2
 
             def run(k):
+                # chunks dispatch asynchronously; each is its own (short)
+                # XLA program, so no per-chunk host sync is needed - the
+                # timing fetch at the end drains the queue
                 acc = None
                 for c in range(spp // chunk):
                     img = render_radiance_jit(
@@ -293,10 +296,12 @@ def bench_reference_scenes():
                         sun_enabled=sun,
                     )
                     acc = img if acc is None else acc + img
-                    float(jnp.sum(acc))  # keep the tunnel inside watchdog
                 return acc / (spp // chunk)
 
-            run(key)  # compile (also the warmup for the single-run workloads)
+            # compile (also the warmup for the single-run workloads); the
+            # fetch DRAINS the async chunk queue - without it the timed
+            # run would pay for this call's queued work
+            float(jnp.sum(run(key)))
             big = spp * res * res > 300 * 512 * 512
             dt = _time(
                 run, jax.random.fold_in(key, 7),

@@ -385,6 +385,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # the environment's TPU plugin force-overrides jax_platforms at
+        # registration; a user asking for CPU must actually get CPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

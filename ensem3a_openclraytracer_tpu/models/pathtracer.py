@@ -170,6 +170,7 @@ def radiance_for_rays(
     nee: bool = False,
     fused: Optional[bool] = None,
     glass_mode: str = "tint",
+    light_uniforms: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Estimate radiance ``[N, 3]`` for an arbitrary primary-ray batch
     (unclamped mean over ``spp`` samples).  This is the shardable core:
@@ -193,8 +194,11 @@ def radiance_for_rays(
     mutually exclusive with ``uniforms``."""
     if nee and lights is None:
         raise ValueError("nee=True requires a LightPack")
-    if nee and uniforms is not None:
-        raise ValueError("nee is incompatible with an explicit uniform stream")
+    if nee and uniforms is not None and light_uniforms is None:
+        raise ValueError(
+            "nee with an explicit uniform stream also needs light_uniforms "
+            "[spp, max_bounce + 1, N, 3]"
+        )
     n_rays = ray_o.shape[0]
 
     # Primary hit, cached across all samples (Raytracing.cl:184-187).
@@ -211,24 +215,29 @@ def radiance_for_rays(
     )
 
     if fused is None:
-        # the whole-bounce-loop kernel wins only for single-block scenes
-        # (everything VMEM-resident, no culling needed); multi-block
-        # scenes run the scan estimator whose per-bounce traces sort rays
-        # by (octant, Morton) - measured faster than the rolled fused
-        # loop on the 15.7k-tri Monkey, and it supports NEE/gradients
+        # the whole-bounce-loop kernel is the forward engine for the MXU
+        # geometry path: for multi-block sun scenes it is ~5x the scan
+        # estimator (in-kernel shadow traces, VMEM-resident ray state;
+        # FurnaceHD measured 84 vs 16 Mrays/s) and a wash on sun-less
+        # Monkey.  NEE auto-fuses on single-block scenes (the in-kernel
+        # NEE path is validated there); refract and explicit-uniform
+        # renders use the scan estimator.
         fused = (
             _on_tpu()
             and geom.feats is not None
-            and geom.feats.block_bounds.shape[0] == 1
             and uniforms is None
-            and not nee
             and glass_mode == "tint"
+            and (
+                not nee
+                or (lights is not None
+                    and geom.feats.block_bounds.shape[0] == 1)
+            )
         )
     if fused:
         if geom.feats is None:
             raise ValueError("fused=True requires the MXU geometry path (feats)")
-        if nee or uniforms is not None or glass_mode != "tint":
-            raise ValueError("fused=True supports the BSDF-only threefry-free path")
+        if uniforms is not None or glass_mode != "tint":
+            raise ValueError("fused=True supports the tint-glass threefry-free path")
         tri_attrs = fused_ops.build_tri_attrs(
             geom.n,
             geom.mat,
@@ -275,6 +284,8 @@ def radiance_for_rays(
                 k,
                 max_bounce=max_bounce,
                 sun_enabled=sun_enabled,
+                nee=nee,
+                lights=lights,
             )
             return acc + rad + esc_thr * env_radiance(esc_dir), None
 
@@ -408,7 +419,7 @@ def radiance_for_rays(
     # so it is reserved for fused kernels that consume bits in-register.
     _uniform = lambda k, s: jax.random.uniform(k, s)
 
-    def one_sample(sample_key, sample_uniforms):
+    def one_sample(sample_key, sample_uniforms, sample_light_uniforms=None):
         """One spp sample for every pixel -> radiance [N, 3]."""
         if sample_uniforms is None:
             us = _uniform(
@@ -417,9 +428,13 @@ def radiance_for_rays(
         else:
             us = sample_uniforms
         if nee:
-            uls = _uniform(
-                jax.random.fold_in(sample_key, 1), (max_bounce + 1, n_rays, 3)
-            )
+            if sample_light_uniforms is not None:
+                uls = sample_light_uniforms
+            else:
+                uls = _uniform(
+                    jax.random.fold_in(sample_key, 1),
+                    (max_bounce + 1, n_rays, 3),
+                )
         else:
             uls = jnp.zeros((max_bounce + 1, n_rays, 0), jnp.float32)
         carry0 = (
@@ -442,9 +457,16 @@ def radiance_for_rays(
     one_sample = jax.checkpoint(one_sample, static_argnums=())
 
     if uniforms is not None:
-        def spp_step(acc, us):
-            return acc + one_sample(None, us), None
-        acc, _ = jax.lax.scan(spp_step, jnp.zeros_like(ray_d), uniforms)
+        if nee:
+            def spp_step(acc, xs):
+                return acc + one_sample(None, xs[0], xs[1]), None
+            acc, _ = jax.lax.scan(
+                spp_step, jnp.zeros_like(ray_d), (uniforms, light_uniforms)
+            )
+        else:
+            def spp_step(acc, us):
+                return acc + one_sample(None, us), None
+            acc, _ = jax.lax.scan(spp_step, jnp.zeros_like(ray_d), uniforms)
     else:
         sample_keys = jax.random.split(key, spp)
 
@@ -474,6 +496,7 @@ def render_radiance(
     nee: bool = False,
     fused: Optional[bool] = None,
     glass_mode: str = "tint",
+    light_uniforms: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
     over ``spp`` samples) for a pinhole camera view."""
@@ -496,6 +519,7 @@ def render_radiance(
         nee=nee,
         fused=fused,
         glass_mode=glass_mode,
+        light_uniforms=light_uniforms,
     )
     return rad.reshape(height, width, 3)
 

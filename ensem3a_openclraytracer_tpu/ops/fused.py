@@ -119,7 +119,8 @@ def _where3(m, a, b):
 
 
 def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
-                 tri_tile: int, use_prng: bool = True, merged: bool = False):
+                 tri_tile: int, use_prng: bool = True, merged: bool = False,
+                 nee: bool = False, n_lights: int = 0, lp: int = 0):
     """Build the fused kernel for static (max_bounce, sun, scene-size).
 
     ``use_prng=False`` swaps the in-kernel PRNG for an explicit uniform
@@ -169,6 +170,7 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             (ecat_ref, pnd_ref, blocks_ref, attrs_ref,
              p_ref, n_ref, misc_ref, color_ref, indir_ref) = refs[:9]
             rest = refs[9:]
+        lights_ref = rest.pop(0) if nee else None
         u_ref = None if use_prng else rest.pop(0)
         rad_ref, escthr_ref, escdir_ref = rest
         r = p_ref.shape[-1]
@@ -324,24 +326,93 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             axis=0,
         )
 
+        def ggx_eval(color, rough, v, l, n):
+            """GGX + Schlick + Smith BRDF [3, R] (ops/bsdf.eval_ggx)."""
+            h = l + v
+            h = h * lax.rsqrt(jnp.maximum(_dot3(h, h), 1e-20))
+            alpha_sqr = rough * rough
+            ndoth = jnp.maximum(_dot3(n, h), 0.0)
+            d_den = jnp.maximum(
+                PI * jnp.square(ndoth * ndoth * (alpha_sqr - 1.0) + 1.0), 1e-12
+            )
+            kk = rough * np.float32(np.sqrt(2.0 / np.pi))
+            ndotv = jnp.maximum(_dot3(n, v), 0.0)
+            ndotl = jnp.maximum(_dot3(n, l), 0.0)
+            g1_den = jnp.maximum(ndotv * (1.0 - kk) + kk, 1e-12)
+            g2_den = jnp.maximum(ndotl * (1.0 - kk) + kk, 1e-12)
+            one_m_hv = 1.0 - jnp.maximum(_dot3(h, v), 0.0)
+            p2 = one_m_hv * one_m_hv
+            f = 0.04 + 0.96 * (p2 * p2 * one_m_hv)
+            spec = (f * alpha_sqr * ndotv * ndotl) / (
+                d_den * g1_den * g2_den * jnp.maximum(4.0 * ndotv * ndotl, 1e-3)
+            )
+            return ((1.0 - f) * 0.5) * color * (1.0 / PI) + spec
+
         def bounce_body(bounce_j, state):
             (p, n, mtype, rough, live_f, color, in_dir,
-             thr, rad, esc_thr, esc_dir) = state
+             thr, rad, esc_thr, esc_dir, emit_ok_f) = state
             # the live mask crosses the rolled-loop carry as f32: Mosaic
             # cannot legalize scf.for with i1-vector carries
             live = live_f > 0.5
-            # terminal: emissive vertex (power in the roughness slot)
+            emit_ok = emit_ok_f > 0.5
+            # terminal: emissive vertex (power in the roughness slot);
+            # with NEE, suppressed when the PREVIOUS vertex light-sampled
             emis = live & (mtype == _EMISSIVE)
-            rad = rad + _where3(emis, thr * rough, jnp.zeros_like(rad))
+            rad = rad + _where3(
+                emis & emit_ok, thr * rough, jnp.zeros_like(rad)
+            )
             live = live & ~emis
 
-            # ---- sample the bounce (fused lobes, ops/bsdf.py port) ----
+            # ---- next-event estimation (fused port of the scan path's
+            # nee_contribution): one area-sampled shadow ray per
+            # diffuse/glossy vertex; emission of the NEXT vertex is then
+            # suppressed (per-bounce flag - glass chains keep theirs)
+            # NOTE: placed below after uniforms are drawn.
+            n_u = 5 if nee else 2
             if use_prng:
-                u = _u01((2, r))
-                u1, u2 = u[0:1], u[1:2]
+                u = _u01((n_u, r))
             else:
-                u = u_ref[pl.ds(2 * bounce_j, 2)]
-                u1, u2 = u[0:1], u[1:2]
+                u = u_ref[pl.ds(n_u * bounce_j, n_u)]
+            u1, u2 = u[0:1], u[1:2]
+            if nee:
+                u3, u4, u5 = u[2:3], u[3:4], u[4:5]
+                li = jnp.clip(
+                    (u3 * float(n_lights)).astype(jnp.int32), 0, n_lights - 1
+                )  # [1, R]
+                lrow_idx = lax.broadcasted_iota(jnp.int32, (lp, r), 0)
+                onehot_l = (lrow_idx == jnp.broadcast_to(li, (lp, r))).astype(
+                    jnp.float32
+                )
+                lrows = dot_select(lights_ref[:], onehot_l)  # [14, R]
+                lv0, lv1, lv2 = lrows[0:3], lrows[3:6], lrows[6:9]
+                ln_, lpow, larea = lrows[9:12], lrows[12:13], lrows[13:14]
+                sx = jnp.sqrt(u4)
+                xl = lv0 + (lv1 - lv0) * (1.0 - sx) + (lv2 - lv0) * (u5 * sx)
+                delta = xl - p
+                dist2 = jnp.maximum(_dot3(delta, delta), 1e-8)
+                dist = jnp.sqrt(dist2)
+                ldir = delta / dist
+                cos_s = _dot3(ldir, n)
+                cos_l = jnp.abs(_dot3(ldir, ln_))
+                st, _, _ = trace(p, ldir)
+                visible = st >= dist * (1.0 - 1e-3)
+                is_glossy_n = mtype == _GLOSSY
+                brdf_n = jnp.where(
+                    jnp.broadcast_to(is_glossy_n, (3, r)),
+                    ggx_eval(color, rough, -in_dir, ldir, n),
+                    color * (1.0 / PI),
+                )
+                sampled = live & (mtype != _GLASS)
+                ok = sampled & visible & (cos_s > 0.0) & (cos_l > 1e-6)
+                weight = (float(n_lights) * larea) * cos_l / dist2
+                contrib = thr * brdf_n * (
+                    jnp.maximum(cos_s, 0.0) * weight * lpow
+                )
+                rad = rad + _where3(ok, contrib, jnp.zeros_like(rad))
+                # pure mask algebra: Mosaic cannot lower select_n on
+                # i1 vectors (the interpret-mode tests would not catch
+                # it); live lanes take ~sampled, dead lanes keep theirs
+                emit_ok = (live & ~sampled) | (~live & emit_ok)
             nx, ny, nz = n[0:1], n[1:2], n[2:3]
             sign = jnp.where(nz >= 0.0, 1.0, -1.0)
             a = -1.0 / (sign + nz)
@@ -424,10 +495,11 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             rough = jnp.where(live, attr[_A_RO : _A_RO + 1], rough)
             in_dir = _where3(live, bdir, in_dir)
             return (p, n, mtype, rough, live.astype(jnp.float32), color,
-                    in_dir, thr, rad, esc_thr, esc_dir)
+                    in_dir, thr, rad, esc_thr, esc_dir,
+                    emit_ok.astype(jnp.float32))
 
         state = (p, n, mtype, rough, live.astype(jnp.float32), color,
-                 in_dir, thr, rad, esc_thr, esc_dir)
+                 in_dir, thr, rad, esc_thr, esc_dir, thr[0:1] * 0.0 + 1.0)
         if num_tiles > 1:
             # big scenes: rolled bounce loop - the per-bounce body embeds
             # a num_tiles-iteration traversal loop, and unrolling it
@@ -438,10 +510,10 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             for bounce_j in range(max_bounce + 1):
                 state = bounce_body(bounce_j, state)
         (p, n, mtype, rough, live_f, color, in_dir,
-         thr, rad, esc_thr, esc_dir) = state
+         thr, rad, esc_thr, esc_dir, emit_ok_f) = state
 
         # a path whose last segment landed on a light still contributes
-        final_emis = (live_f > 0.5) & (mtype == _EMISSIVE)
+        final_emis = (live_f > 0.5) & (mtype == _EMISSIVE) & (emit_ok_f > 0.5)
         rad = rad + _where3(final_emis, thr * rough, jnp.zeros_like(rad))
 
         rad_ref[:] = rad
@@ -452,7 +524,7 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_bounce", "sun_enabled", "interpret")
+    jax.jit, static_argnames=("max_bounce", "sun_enabled", "interpret", "nee")
 )
 def sample_fused(
     feats: TriFeatures,
@@ -472,15 +544,25 @@ def sample_fused(
     sun_enabled: bool,
     interpret: bool = False,
     uniforms: jnp.ndarray | None = None,
+    nee: bool = False,
+    lights=None,
 ):
     """One Monte-Carlo sample for ``N`` rays starting at their (cached)
     primary vertices.  Returns ``(rad [N,3], esc_thr [N,3], esc_dir
     [N,3])``; total sample radiance = ``rad + esc_thr * env(esc_dir)``.
 
-    ``uniforms [max_bounce + 1, N, 2]`` switches the kernel to the
-    explicit-stream test mode (CPU-interpretable; same stream as the
-    scan estimator's per-sample uniforms).
+    ``uniforms [max_bounce + 1, N, 2]`` (or ``[..., N, 5]`` with NEE)
+    switches the kernel to the explicit-stream test mode
+    (CPU-interpretable; same stream as the scan estimator's per-sample
+    uniforms).
+
+    ``nee=True`` (requires ``lights``, a LightPack) adds in-kernel
+    next-event estimation: per diffuse/glossy vertex one area-sampled
+    light point, an in-kernel shadow trace, and per-bounce emission
+    suppression - the fused twin of the scan path's NEE.
     """
+    if nee and lights is None:
+        raise ValueError("nee=True requires lights")
     tp0 = feats.edges.shape[-1]
     ray_tile = RAY_TILE if min(TRI_TILE, tp0) <= 64 else RAY_TILE_BIG_SCENE
     n_rays = primary_p.shape[0]
@@ -518,6 +600,8 @@ def sample_fused(
     )
 
     use_prng = uniforms is None
+    n_lights = 0 if lights is None else int(lights.v0.shape[0])
+    lp_pad = ((max(n_lights, 1) + 7) // 8) * 8 if nee else 0
     # tiny scenes: edges (3*TT rows) and num/den (2*TT rows) each occupy
     # a mostly-empty 128-row MXU tile; when all 5*TT rows fit in one tile
     # a single merged matmul per block saves a third of the MXU passes
@@ -525,6 +609,7 @@ def sample_fused(
     kernel = _make_kernel(
         max_bounce, sun_enabled, tp, num_tiles, tri_tile,
         use_prng=use_prng, merged=merged,
+        nee=nee, n_lights=n_lights, lp=lp_pad,
     )
 
     full = lambda *shape: pl.BlockSpec(
@@ -568,6 +653,24 @@ def sample_fused(
         col,
         ind,
     ]
+    if nee:
+        # [14, Lp] light table: v0|v1|v2|n (3 rows each), power, area
+        ltab = jnp.concatenate(
+            [
+                jnp.asarray(lights.v0, jnp.float32).T,
+                jnp.asarray(lights.v1, jnp.float32).T,
+                jnp.asarray(lights.v2, jnp.float32).T,
+                jnp.asarray(lights.n, jnp.float32).T,
+                jnp.asarray(lights.power, jnp.float32)[None, :],
+                jnp.asarray(lights.area, jnp.float32)[None, :],
+            ],
+            axis=0,
+        )
+        ltab = jnp.pad(ltab, ((0, 0), (0, lp_pad - n_lights)))
+        # the kernel pops the light table FIRST from the refs after the
+        # nine fixed operands, i.e. it follows indir
+        in_specs.append(full(14, lp_pad))
+        operands.append(ltab)
     if num_tiles > 1:
         # per-tile front-to-back block visit order: distance from the
         # tile's mean origin to each block centroid, ascending.  One
@@ -585,10 +688,11 @@ def sample_fused(
         # scalar-prefetch operand: insert after (seeds, env_scalars)
         operands.insert(2, perm)
     if not use_prng:
-        # [mb+1, N, 2] -> [(mb+1)*2, Np] (u1/u2 interleaved per bounce)
+        # [mb+1, N, n_u] -> [(mb+1)*n_u, Np] (uniforms interleaved/bounce)
+        n_u = 5 if nee else 2
         u = jnp.pad(uniforms, ((0, 0), (0, pad), (0, 0)))
-        u = u.transpose(0, 2, 1).reshape((max_bounce + 1) * 2, n_pad)
-        in_specs.append(ray_spec((max_bounce + 1) * 2))
+        u = u.transpose(0, 2, 1).reshape((max_bounce + 1) * n_u, n_pad)
+        in_specs.append(ray_spec((max_bounce + 1) * n_u))
         operands.append(u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if num_tiles > 1 else 2,

@@ -387,11 +387,36 @@ def _mxu_kernel(*refs):
     finish(best_key, best_blk)
 
 
+# multi-block kernels carry [grid_tiles, B] visit-order tables in SMEM
+# (~1 MB total); cap the grid per pallas_call and chunk bigger batches
+_MAX_GRID_TILES = 128
+
+
 def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = False) -> Hit:
     """Fused-kernel closest hit (TPU).  Equivalent to :func:`trace_mxu`.
     ``interpret=True`` runs the kernel in the Pallas interpreter so tests
     validate it off-TPU."""
     n = ray_o.shape[0]
+
+    tp0 = feats.edges.shape[-1]
+    if tp0 > TRI_TILE and n > _MAX_GRID_TILES * RAY_TILE_MULTI:
+        # chunk huge multi-block batches (e.g. 1024^2 primaries): the
+        # per-tile SMEM visit tables scale with the grid and overflow
+        # past ~1 MB otherwise
+        step = _MAX_GRID_TILES * RAY_TILE_MULTI
+        parts = [
+            trace_mxu_pallas(
+                feats, ray_o[i : i + step], ray_d[i : i + step],
+                interpret=interpret,
+            )
+            for i in range(0, n, step)
+        ]
+        return Hit(
+            t=jnp.concatenate([h.t for h in parts]),
+            tri=jnp.concatenate([h.tri for h in parts]),
+            hit=jnp.concatenate([h.hit for h in parts]),
+        )
+
     r6, q4 = _ray_features(ray_o, ray_d)
 
     tp = feats.edges.shape[-1]

@@ -25,7 +25,7 @@ from ensem3a_openclraytracer_tpu.testing import make_cornell_scene, make_outdoor
 
 
 def _fused_radiance(geom, materials, env, ray_o, ray_d, uniforms, *,
-                    max_bounce, sun_enabled):
+                    max_bounce, sun_enabled, nee=False, lights=None):
     """One-sample radiance via the fused kernel (interpret mode) +
     outside env/escape accumulation, mirroring the pathtracer wiring."""
     h = trace(geom, ray_o, ray_d)
@@ -39,6 +39,7 @@ def _fused_radiance(geom, materials, env, ray_o, ray_d, uniforms, *,
         ray_d, sun_direction(env.sun_angles_deg), env.sun_power,
         jax.random.PRNGKey(0), max_bounce=max_bounce,
         sun_enabled=sun_enabled, interpret=True, uniforms=uniforms,
+        nee=nee, lights=lights,
     )
     env_l = sample_ibl(env.ibl, esc_dir) * env.ibl_power
     primary_miss = jnp.where(
@@ -129,3 +130,37 @@ def test_merged_operand_branch_matches_unmerged():
     out_u = _fused_radiance(geom_unmerged, materials, env, ray_o, ray_d,
                             uniforms, max_bounce=mb, sun_enabled=True)
     np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_u))
+
+
+def test_fused_nee_matches_scan_same_stream():
+    """In-kernel NEE (light pick + area sample + shadow trace + emission
+    suppression) against the scan path's nee_contribution on one stream."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+    from ensem3a_openclraytracer_tpu.testing import cornell_materials
+
+    geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    lights = build_light_pack(geom, materials)
+    res, mb = 24, 3
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, res, res
+    )
+    n = ray_o.shape[0]
+    us = jax.random.uniform(jax.random.PRNGKey(7), (1, mb + 1, n, 2))
+    uls = jax.random.uniform(jax.random.PRNGKey(8), (1, mb + 1, n, 3))
+
+    scan = radiance_for_rays(
+        geom, materials, env, ray_o, ray_d, jax.random.PRNGKey(0),
+        spp=1, max_bounce=mb, sun_enabled=False, uniforms=us,
+        light_uniforms=uls, lights=lights, nee=True, fused=False,
+    )
+    fused = _fused_radiance(
+        geom, materials, env, ray_o, ray_d,
+        jnp.concatenate([us[0], uls[0]], axis=-1),
+        max_bounce=mb, sun_enabled=False, nee=True, lights=lights,
+    )
+    diff = np.abs(np.asarray(scan) - np.asarray(fused)).max(axis=-1)
+    assert np.quantile(diff, 0.98) < 1e-3, (
+        f"p98 {np.quantile(diff, 0.98)}, max {diff.max()}"
+    )
+    assert np.median(diff) < 1e-5
+    assert np.isfinite(np.asarray(fused)).all()

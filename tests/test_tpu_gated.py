@@ -18,7 +18,8 @@ tpu_only = pytest.mark.skipif(
 
 
 def _fused_one_sample(geom, materials, env, ray_o, ray_d, uniforms, *,
-                      max_bounce, sun_enabled, key=None):
+                      max_bounce, sun_enabled, key=None, nee=False,
+                      lights=None):
     from ensem3a_openclraytracer_tpu.models.pathtracer import (
         _gather_surface,
         trace,
@@ -37,6 +38,7 @@ def _fused_one_sample(geom, materials, env, ray_o, ray_d, uniforms, *,
         ray_d, sun_direction(env.sun_angles_deg), env.sun_power,
         key if key is not None else jax.random.PRNGKey(0),
         max_bounce=max_bounce, sun_enabled=sun_enabled, uniforms=uniforms,
+        nee=nee, lights=lights,
     )
     env_l = sample_ibl(env.ibl, esc_dir) * env.ibl_power
     primary_miss = jnp.where(
@@ -128,3 +130,35 @@ def test_multiblock_rolled_loop_prng_statistics():
     # directions, collapsing indirect light variance; compare per-pixel
     # std across the two independent fused renders against scan noise
     assert np.isfinite(a).all()
+
+
+@tpu_only
+def test_fused_nee_matches_scan_on_hardware():
+    """The in-kernel NEE path (light one-hot select, shadow trace,
+    emission suppression) on the real Mosaic lowering."""
+    from ensem3a_openclraytracer_tpu.models.pathtracer import radiance_for_rays
+    from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+    from ensem3a_openclraytracer_tpu.testing import make_cornell_scene
+
+    geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    lights = build_light_pack(geom, materials)
+    res, mb = 64, 3
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, res, res
+    )
+    us = jax.random.uniform(jax.random.PRNGKey(7), (1, mb + 1, ray_o.shape[0], 2))
+    uls = jax.random.uniform(jax.random.PRNGKey(8), (1, mb + 1, ray_o.shape[0], 3))
+    scan = radiance_for_rays(
+        geom, materials, env, ray_o, ray_d, jax.random.PRNGKey(0),
+        spp=1, max_bounce=mb, sun_enabled=False, uniforms=us,
+        light_uniforms=uls, lights=lights, nee=True, fused=False,
+    )
+    fused = _fused_one_sample(
+        geom, materials, env, ray_o, ray_d,
+        jnp.concatenate([us[0], uls[0]], axis=-1),
+        max_bounce=mb, sun_enabled=False, nee=True, lights=lights,
+    )
+    diff = np.abs(np.asarray(scan) - np.asarray(fused)).max(axis=-1)
+    assert np.quantile(diff, 0.98) < 1e-3
+    assert np.isfinite(np.asarray(fused)).all()
