@@ -52,21 +52,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CPU_SMOKE = "--cpu" in sys.argv
 
-# First recorded single-chip numbers (BENCH_r01 / round-2 runs); a
-# metric with no recorded baseline reports vs_baseline = 1.0.
+# Pinned single-chip baselines: the best recorded value per metric
+# (cornell_forward from BENCH_r01, the rest from BENCH_r02 - round 1
+# recorded no trustworthy number for them; its ad-hoc Monkey "397
+# Mrays/s" was a 100x accounting slip).  vs_baseline < 1 on a
+# throughput metric = regression.  Error metrics (suffix _err) pin the
+# recorded error; vs_baseline is err/baseline with a floor so a 0.0
+# baseline still reports 1.0 when matched.
 BASELINES = {
     "cornell_forward_mrays_per_s": 729.11,
-    # round-1 recorded no trustworthy number for the other workloads (the
-    # ad-hoc Monkey script's "397 Mrays/s" was a 100x accounting slip -
-    # its own printed wall-clock, 6.6 s for 26.2M rays, is ~4 Mrays/s)
+    "cornell_fwdbwd_mrays_per_s": 171.986,
+    "ref_cornell_forward_mrays_per_s": 852.117,
+    "ref_monkey_forward_mrays_per_s": 5.782,
+    "ref_furnace_forward_mrays_per_s": 84.183,
+    "ref_serre_forward_mrays_per_s": 35.81,
+}
+# error metrics: max acceptable value recorded so far (lower is better)
+ERR_BASELINES = {
+    "cornell_pixel_grad_max_abs_err": 1e-5,
+    "cornell_grad_albedo_max_abs_err": 1e-3,
+    "cornell_grad_roughness_max_abs_err": 1e-3,
 }
 
 REF_SCENES = "/root/reference/ObjFiles"
 
 
 def _emit(metric: str, value: float, unit: str):
-    base = BASELINES.get(metric)
-    vs = value / base if base else 1.0
+    if metric in ERR_BASELINES:
+        vs = value / ERR_BASELINES[metric]
+    else:
+        base = BASELINES.get(metric)
+        vs = value / base if base else 1.0
     print(
         json.dumps(
             {

@@ -80,13 +80,11 @@ def cmd_render(args) -> int:
             nee = False
 
     mesh = _parse_mesh(args.mesh)
-    if mesh is not None and nee:
-        print("warning: --nee is single-device only; ignoring it for the mesh render")
-        nee, lights = False, None
     t0 = time.time()
     if mesh is not None:
         # one-shot sharded render over the (dp, sp) mesh (progressive
-        # checkpointing is the single-device path's job)
+        # checkpointing is the single-device path's job); NEE and glass
+        # mode plumb through like the single-device estimator
         from ensem3a_openclraytracer_tpu.parallel.render import render_radiance_sharded
 
         spp_done = spp
@@ -96,6 +94,7 @@ def cmd_render(args) -> int:
                 jax.random.PRNGKey(args.seed),
                 height=res, width=res, spp=spp, max_bounce=max_bounce,
                 sun_enabled=sun_enabled,
+                lights=lights, nee=nee, glass_mode=glass_mode,
             )
             img = jax.block_until_ready(jnp_clip_img(rad))
     else:

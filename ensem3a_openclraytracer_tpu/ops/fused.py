@@ -349,17 +349,26 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             return ((1.0 - f) * 0.5) * color * (1.0 / PI) + spec
 
         def bounce_body(bounce_j, state):
-            (p, n, mtype, rough, live_f, color, in_dir,
-             thr, rad, esc_thr, esc_dir, emit_ok_f) = state
+            # the emit_ok flag exists only under NEE; the non-NEE kernel
+            # carries 11 slots (the extra state measurably cost the
+            # single-block forward path ~3% in round 2)
+            if nee:
+                (p, n, mtype, rough, live_f, color, in_dir,
+                 thr, rad, esc_thr, esc_dir, emit_ok_f) = state
+                emit_ok = emit_ok_f > 0.5
+            else:
+                (p, n, mtype, rough, live_f, color, in_dir,
+                 thr, rad, esc_thr, esc_dir) = state
+                emit_ok = None
             # the live mask crosses the rolled-loop carry as f32: Mosaic
             # cannot legalize scf.for with i1-vector carries
             live = live_f > 0.5
-            emit_ok = emit_ok_f > 0.5
             # terminal: emissive vertex (power in the roughness slot);
             # with NEE, suppressed when the PREVIOUS vertex light-sampled
             emis = live & (mtype == _EMISSIVE)
             rad = rad + _where3(
-                emis & emit_ok, thr * rough, jnp.zeros_like(rad)
+                (emis & emit_ok) if nee else emis,
+                thr * rough, jnp.zeros_like(rad)
             )
             live = live & ~emis
 
@@ -494,12 +503,16 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             color = _where3(live, attr[_A_CR : _A_RO], color)
             rough = jnp.where(live, attr[_A_RO : _A_RO + 1], rough)
             in_dir = _where3(live, bdir, in_dir)
-            return (p, n, mtype, rough, live.astype(jnp.float32), color,
-                    in_dir, thr, rad, esc_thr, esc_dir,
-                    emit_ok.astype(jnp.float32))
+            out = (p, n, mtype, rough, live.astype(jnp.float32), color,
+                   in_dir, thr, rad, esc_thr, esc_dir)
+            if nee:
+                out = out + (emit_ok.astype(jnp.float32),)
+            return out
 
         state = (p, n, mtype, rough, live.astype(jnp.float32), color,
-                 in_dir, thr, rad, esc_thr, esc_dir, thr[0:1] * 0.0 + 1.0)
+                 in_dir, thr, rad, esc_thr, esc_dir)
+        if nee:
+            state = state + (thr[0:1] * 0.0 + 1.0,)
         if num_tiles > 1:
             # big scenes: rolled bounce loop - the per-bounce body embeds
             # a num_tiles-iteration traversal loop, and unrolling it
@@ -510,10 +523,12 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             for bounce_j in range(max_bounce + 1):
                 state = bounce_body(bounce_j, state)
         (p, n, mtype, rough, live_f, color, in_dir,
-         thr, rad, esc_thr, esc_dir, emit_ok_f) = state
+         thr, rad, esc_thr, esc_dir) = state[:11]
 
         # a path whose last segment landed on a light still contributes
-        final_emis = (live_f > 0.5) & (mtype == _EMISSIVE) & (emit_ok_f > 0.5)
+        final_emis = (live_f > 0.5) & (mtype == _EMISSIVE)
+        if nee:
+            final_emis = final_emis & (state[11] > 0.5)
         rad = rad + _where3(final_emis, thr * rough, jnp.zeros_like(rad))
 
         rad_ref[:] = rad

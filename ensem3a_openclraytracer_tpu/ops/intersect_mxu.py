@@ -379,9 +379,12 @@ def _mxu_kernel(*refs):
         jj, best_key, _ = state
         # visit order is ascending centroid distance; lodist[jj] is a
         # lower bound on every REMAINING block's slab entry distance, so
-        # once all lanes hold a closer hit nothing ahead can matter
+        # once all lanes hold a closer hit nothing ahead can matter.
+        # `&` does not short-circuit: clamp jj so the exhausted-tile case
+        # (jj == num_tiles) never reads one past the [G, B] SMEM table.
         best_t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
-        return (jj < num_tiles) & (jnp.max(best_t) >= lodist_ref[pid, jj])
+        lo = lodist_ref[pid, jnp.minimum(jj, num_tiles - 1)]
+        return (jj < num_tiles) & (jnp.max(best_t) >= lo)
 
     _, best_key, best_blk = lax.while_loop(cond, body, (0, best_key, best_blk))
     finish(best_key, best_blk)

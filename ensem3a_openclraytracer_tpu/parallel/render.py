@@ -37,6 +37,9 @@ def _shard_radiance(
     sun_enabled: bool,
     ibl_bilinear: bool,
     fused=None,
+    lights=None,
+    nee: bool = False,
+    glass_mode: str = "tint",
 ):
     """Per-shard body: render my row block with my sample subset, then
     average sample sets across the sp axis."""
@@ -59,6 +62,9 @@ def _shard_radiance(
         sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear,
         fused=fused,
+        lights=lights,
+        nee=nee,
+        glass_mode=glass_mode,
     )
     return jax.lax.pmean(rad, SP_AXIS)
 
@@ -78,13 +84,22 @@ def render_radiance_sharded(
     sun_enabled: bool = True,
     ibl_bilinear: bool = True,
     fused=None,
+    lights=None,
+    nee: bool = False,
+    glass_mode: str = "tint",
 ) -> jnp.ndarray:
     """Radiance image ``[height, width, 3]`` rendered over ``mesh``.
 
     ``height`` must divide evenly by the dp axis size and ``spp`` by the
     sp axis size.  Differentiable w.r.t. materials/env exactly like the
     single-device path — XLA inserts the gradient ``psum`` collectives
-    when this is transposed."""
+    when this is transposed.
+
+    ``nee=True`` (with ``lights``, replicated to every shard) and
+    ``glass_mode`` mirror the single-device estimator options: each
+    (dp, sp) shard NEE-samples its own light points from its fold_in key,
+    so the sharded NEE render is a valid (differently-seeded) estimate of
+    the same integral."""
     n_dp = mesh.shape[DP_AXIS]
     n_sp = mesh.shape[SP_AXIS]
     if height % n_dp != 0:
@@ -106,9 +121,11 @@ def render_radiance_sharded(
         sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear,
         fused=fused,
+        nee=nee,
+        glass_mode=glass_mode,
     )
 
-    def shard_body(geom, materials, env, ro, rd, key):
+    def shard_body(geom, materials, env, lights, ro, rd, key):
         h_local = ro.shape[0]
         rad = body(
             geom,
@@ -117,16 +134,17 @@ def render_radiance_sharded(
             ro.reshape(h_local * width, 3),
             rd.reshape(h_local * width, 3),
             key,
+            lights=lights,
         )
         return rad.reshape(h_local, width, 3)
 
     sharded = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DP_AXIS, None), P(DP_AXIS, None), P()),
+        in_specs=(P(), P(), P(), P(), P(DP_AXIS, None), P(DP_AXIS, None), P()),
         out_specs=P(DP_AXIS, None, None),
     )
-    return sharded(geom, materials, env, ray_o, ray_d, key)
+    return sharded(geom, materials, env, lights, ray_o, ray_d, key)
 
 
 def make_sharded_renderer(

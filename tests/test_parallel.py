@@ -142,3 +142,43 @@ def test_trainable_params_round_trip(scene):
     np.testing.assert_array_equal(np.asarray(m2.color), np.asarray(m.color))
     np.testing.assert_array_equal(np.asarray(e2.ibl), np.asarray(e.ibl))
     assert m2.mtype is m.mtype  # static leaves untouched
+
+
+def test_sharded_nee_matches_estimator_family(scene):
+    """NEE through the (dp, sp) mesh: finite, deterministic, and close to
+    the single-device NEE render at matched sample counts (different
+    fold_in streams, so allclose is statistical, not bitwise)."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+    geom, m, e, c = scene
+    lights = build_light_pack(geom, m)
+    assert lights is not None
+    mesh = make_mesh(jax.devices(), sp=2)
+    key = jax.random.PRNGKey(3)
+    kw = dict(height=RES, width=RES, spp=8, max_bounce=MB, sun_enabled=False)
+    img = render_radiance_sharded(
+        mesh, geom, m, e, c, key, lights=lights, nee=True, **kw
+    )
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all() and arr.max() > 0
+    ref = render_radiance(
+        geom, m, e, c, key, lights=lights, nee=True, **kw
+    )
+    # same estimator, independent streams: images agree to MC noise
+    assert float(jnp.mean(jnp.abs(img - ref))) < 0.15
+
+
+def test_sharded_glass_refract_plumbs_through(scene):
+    """glass_mode='refract' reaches the shard bodies (the round-2 advisor
+    flagged the CLI silently dropping it on mesh renders)."""
+    geom, m, e, c = scene
+    mesh = make_mesh(jax.devices(), sp=1)
+    key = jax.random.PRNGKey(4)
+    kw = dict(height=RES, width=RES, spp=2, max_bounce=MB, sun_enabled=False)
+    tint = render_radiance_sharded(mesh, geom, m, e, c, key, **kw)
+    refr = render_radiance_sharded(
+        mesh, geom, m, e, c, key, glass_mode="refract", **kw
+    )
+    assert np.isfinite(np.asarray(refr)).all()
+    # the Cornell scene has a glass sphere: the two glass models differ
+    assert float(jnp.max(jnp.abs(tint - refr))) > 1e-3
