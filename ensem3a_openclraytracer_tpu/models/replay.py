@@ -24,9 +24,14 @@ formulas on an identical threefry stream, so the primal equals
 ``render_radiance(..., fused=False)`` to float32 accuracy and the
 gradients match exactly (tests/test_replay.py).
 
-On TPU the recorder can run the fused Pallas kernel in record mode
-(ops/fused.py) - forward tracing at fused-kernel speed, with the
-hardware-PRNG uniforms exported as part of the record.
+On TPU the recorder runs the fused Pallas kernel in record mode
+(``sample_fused(record=True)``, ops/fused.py): the kernel's bounce loop
+emits (uniforms, winner-triangle row, sun-occluder row) per bounce, so
+forward tracing happens at fused-kernel speed with the hardware-PRNG
+uniforms exported as part of the record.  The replay side is identical
+either way - it only consumes the records.  (``fused=False`` keeps the
+scan-path recorder with its threefry stream, which is what the
+replay-equals-scan parity tests pin.)
 
 Mirrors the reference estimator semantics the same way the scan path
 does (Raytracing.cl:39-153); NEE renders currently stay on the scan
@@ -41,7 +46,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ensem3a_openclraytracer_tpu.models.pathtracer import trace
+from ensem3a_openclraytracer_tpu.models.pathtracer import (
+    _gather_surface,
+    _on_tpu,
+    trace,
+)
+from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
 from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
 from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
@@ -58,8 +68,9 @@ class PathRecords(NamedTuple):
     """Discrete path structure for ``spp`` samples of ``N`` rays.
 
     ``tri``/``sun_tri`` use -1 for "no hit"; indices are in the packed
-    (Morton-ordered) face space.  ``sun_tri`` is all -1 when the sun is
-    disabled (and the array is size-0 along the bounce axis)."""
+    (Morton-ordered) face space.  ``sun_tri`` is a full [spp, B+1, N]
+    array of -1 when the sun is disabled (kept full-size so the replay
+    scan's xs leaves share the bounce axis)."""
 
     u: jnp.ndarray  # [spp, B+1, N, 2] float32 uniforms
     tri: jnp.ndarray  # [spp, B+1, N] int32 bounce-segment hit
@@ -78,6 +89,56 @@ def _sample_uniforms(key: jax.Array, spp: int, max_bounce: int, n: int):
     return jax.vmap(one)(sample_keys)
 
 
+def record_paths_fused(
+    geom: GeometryPack,
+    materials: MaterialParams,
+    env: EnvParams,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    key: jax.Array,
+    *,
+    spp: int,
+    max_bounce: int,
+    sun_enabled: bool,
+) -> PathRecords:
+    """Record paths at fused-kernel speed: one ``sample_fused(record=
+    True)`` per sample emits the whole (uniforms, hit row, sun-occluder
+    row) structure from inside the VMEM bounce loop (ops/fused.py).
+    Hardware-PRNG stream; tint glass; requires the MXU geometry path.
+
+    Everything feeding the kernel is detached - Pallas has no autodiff
+    rule, and the records are discrete path structure by design."""
+    sg = jax.lax.stop_gradient
+    feats = geom.feats
+    tri_attrs = sg(fused_ops.build_tri_attrs(
+        geom.n, geom.mat, materials.mtype, materials.color,
+        materials.roughness, feats.edges.shape[-1],
+    ))
+    primary_hit = trace(geom, ray_o, ray_d)
+    primary_tri = jnp.where(primary_hit.hit, primary_hit.tri, -1)
+    surf = _gather_surface(geom, materials, ray_o, ray_d, primary_hit)
+    sun_dir_v = sun_direction(env.sun_angles_deg)
+
+    def step(_, k):
+        _, _, _, u, tri, sun = fused_ops.sample_fused(
+            feats, tri_attrs, sg(surf.p), sg(surf.n), surf.mtype,
+            sg(surf.color), sg(surf.rough), primary_hit.hit,
+            sg(ray_d), sg(sun_dir_v), sg(env.sun_power), k,
+            max_bounce=max_bounce, sun_enabled=sun_enabled, record=True,
+        )
+        return None, (u, tri, sun)
+
+    _, (us, tris, suns) = jax.lax.scan(
+        step, None, jax.random.split(key, spp)
+    )
+    return PathRecords(
+        u=jax.lax.stop_gradient(us),
+        tri=tris,
+        sun_tri=suns,
+        primary_tri=jax.lax.stop_gradient(primary_tri),
+    )
+
+
 def record_paths(
     geom: GeometryPack,
     materials: MaterialParams,
@@ -91,12 +152,30 @@ def record_paths(
     sun_enabled: bool,
     uniforms: Optional[jnp.ndarray] = None,
     glass_mode: str = "tint",
+    fused: Optional[bool] = None,
 ) -> PathRecords:
     """Trace all paths once; no differentiable parameter participates.
 
     Only geometry-derived state (position, normal, material TYPE) feeds
     the recorder - colors/roughness/powers never affect which triangle a
-    path visits, so the records are reusable across parameter values."""
+    path visits, so the records are reusable across parameter values.
+
+    ``fused`` selects the in-kernel recorder (:func:`record_paths_fused`).
+    Default (None) auto-enables it on TPU for the MXU geometry path with
+    tint glass and no explicit uniform stream - the same gate as the
+    forward renderer's fused engine."""
+    if fused is None:
+        fused = (
+            _on_tpu()
+            and geom.feats is not None
+            and uniforms is None
+            and glass_mode == "tint"
+        )
+    if fused:
+        return record_paths_fused(
+            geom, materials, env, ray_o, ray_d, key,
+            spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
+        )
     n_rays = ray_o.shape[0]
     if uniforms is None:
         uniforms = _sample_uniforms(key, spp, max_bounce, n_rays)
@@ -339,6 +418,14 @@ def replay_radiance(
     return (acc + esc_rad) / spp
 
 
+def _chunk_divisor(spp: int, target: int) -> int:
+    """Largest divisor of ``spp`` that is <= ``target`` (>= 1)."""
+    c = max(1, min(spp, target))
+    while spp % c:
+        c -= 1
+    return c
+
+
 def radiance_for_rays_replay(
     geom: GeometryPack,
     materials: MaterialParams,
@@ -353,20 +440,55 @@ def radiance_for_rays_replay(
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
     glass_mode: str = "tint",
+    fused: Optional[bool] = None,
+    spp_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Drop-in differentiable replacement for
-    ``radiance_for_rays(..., fused=False, nee=False)``: same estimator,
-    same random stream, but ``jax.grad`` never re-traces."""
-    records = record_paths(
-        geom, materials, env, ray_o, ray_d, key,
-        spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
-        uniforms=uniforms, glass_mode=glass_mode,
+    ``radiance_for_rays(..., fused=False, nee=False)``: same estimator
+    (and, with ``fused=False``, the same random stream), but
+    ``jax.grad`` never re-traces.
+
+    ``spp_chunk`` bounds the live record memory: samples are recorded
+    and replayed ``spp_chunk`` at a time under ``jax.checkpoint``, so
+    the backward pass re-records each chunk (cheap - the fused
+    recorder) instead of holding every sample's ~16 bytes/ray/bounce
+    record across the whole pass.  Default: auto-chunks so one chunk's
+    records stay under ~256 MB; ``spp_chunk=spp`` disables (the exact
+    legacy stream, which the replay-equals-scan tests pin via
+    ``uniforms``/``fused=False``)."""
+    n_rays = ray_o.shape[0]
+    if spp_chunk is None:
+        if uniforms is not None:
+            spp_chunk = spp  # explicit stream: keep the caller's layout
+        else:
+            per_sample = n_rays * (max_bounce + 1) * 16
+            spp_chunk = _chunk_divisor(spp, max(1, (256 << 20) // per_sample))
+    else:
+        spp_chunk = _chunk_divisor(spp, spp_chunk)
+
+    def run(k, u, n_spp):
+        records = record_paths(
+            geom, materials, env, ray_o, ray_d, k,
+            spp=n_spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
+            uniforms=u, glass_mode=glass_mode, fused=fused,
+        )
+        return replay_radiance(
+            records, geom, materials, env, ray_d,
+            sun_enabled=sun_enabled, ibl_bilinear=ibl_bilinear,
+            glass_mode=glass_mode,
+        )
+
+    if spp_chunk >= spp:
+        return run(key, uniforms, spp)
+
+    chunk_fn = jax.checkpoint(lambda k: run(k, None, spp_chunk) * spp_chunk)
+    keys = jax.random.split(key, spp // spp_chunk)
+    acc, _ = jax.lax.scan(
+        lambda a, k: (a + chunk_fn(k), None),
+        jnp.zeros_like(ray_d),
+        keys,
     )
-    return replay_radiance(
-        records, geom, materials, env, ray_d,
-        sun_enabled=sun_enabled, ibl_bilinear=ibl_bilinear,
-        glass_mode=glass_mode,
-    )
+    return acc / spp
 
 
 def render_radiance_replay(
@@ -384,6 +506,8 @@ def render_radiance_replay(
     ibl_bilinear: bool = True,
     uniforms: Optional[jnp.ndarray] = None,
     glass_mode: str = "tint",
+    fused: Optional[bool] = None,
+    spp_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Differentiable radiance image ``[H, W, 3]`` via path replay."""
     ray_o, ray_d = camera_rays(
@@ -393,5 +517,6 @@ def render_radiance_replay(
         geom, materials, env, ray_o, ray_d, key,
         spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear, uniforms=uniforms, glass_mode=glass_mode,
+        fused=fused, spp_chunk=spp_chunk,
     )
     return rad.reshape(height, width, 3)

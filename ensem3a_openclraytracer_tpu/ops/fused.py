@@ -54,7 +54,10 @@ from ensem3a_openclraytracer_tpu.ops.intersect_mxu import (
     _MAXKEY,
     TRI_TILE,
     TriFeatures,
+    block_centroid,
     build_ecat,
+    build_edge_lhs,
+    build_edge_rhs,
     build_nd_rhs,
     build_pnd,
 )
@@ -120,14 +123,24 @@ def _where3(m, a, b):
 
 def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                  tri_tile: int, use_prng: bool = True, merged: bool = False,
-                 nee: bool = False, n_lights: int = 0, lp: int = 0):
+                 nee: bool = False, n_lights: int = 0, lp: int = 0,
+                 record: bool = False):
     """Build the fused kernel for static (max_bounce, sun, scene-size).
 
     ``use_prng=False`` swaps the in-kernel PRNG for an explicit uniform
     input ``[(max_bounce + 1) * 2, R]`` - the CPU-interpretable test
     mode (prng_seed has no CPU lowering), which also lets equivalence
     tests drive the fused kernel and the scan estimator with the SAME
-    random stream."""
+    random stream.
+
+    ``record=True`` additionally emits the discrete path structure the
+    replay gradient engine consumes (models/replay.py): per bounce the
+    drawn uniforms, the global winner-triangle row of the bounce
+    segment, and (with sun) the sun-shadow occluder row - so recording
+    runs at fused-kernel speed instead of re-tracing bounce-by-bounce
+    through the scan path.  Extra outputs: ``u_rec [(mb+1)*2, R]``,
+    ``tri_rec [mb+1 pad 8, R]``, ``sun_rec [same]`` (ints; -1 = miss).
+    Incompatible with ``nee`` (the replay engine is BSDF-only)."""
 
     def dot_bf16(a, b):
         return lax.dot_general(
@@ -172,7 +185,12 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             rest = refs[9:]
         lights_ref = rest.pop(0) if nee else None
         u_ref = None if use_prng else rest.pop(0)
-        rad_ref, escthr_ref, escdir_ref = rest
+        if record:
+            (rad_ref, escthr_ref, escdir_ref, u_rec_ref,
+             tri_rec_ref, *sun_rest) = rest
+            sun_rec_ref = sun_rest[0] if sun_enabled else None
+        else:
+            rad_ref, escthr_ref, escdir_ref = rest
         r = p_ref.shape[-1]
         row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
         # hoisted: program_id inside a rolled lax loop body would be
@@ -182,45 +200,52 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         def trace(p, dirv):
             """Closest hit of [3, R] rays; returns (t [1,R], hit [1,R],
             attrs [8, R] of the winning triangle)."""
-            dxo = _cross3(dirv, p)
-            r6 = jnp.concatenate([dirv, dxo], axis=0)  # [6, R]
-            q4 = jnp.concatenate([p, jnp.ones_like(p[0:1])], axis=0)  # [4, R]
             tiny = 1e-12
             d_safe = jnp.where(
                 jnp.abs(dirv) < tiny, jnp.where(dirv < 0, -tiny, tiny), dirv
             )
             inv_d = 1.0 / d_safe
-            # split-bf16 right operand for the fused num/den matmul
-            # (ops/intersect_mxu.build_nd_rhs): the DEFAULT-precision dot
-            # truncates f32 inputs to bf16, so the explicit residual rows
-            # recover the next 8 mantissa bits (~2^-16 relative, the same
-            # order as the packed-key low-byte stomp)
-            nd_rhs = build_nd_rhs(q4, dirv)  # [21, R]
 
-            def intersect_block(j, best_key, best_attr):
+            def intersect_block(j, best_key, best_attr, best_tri=None):
                 # multiple_of: j may come from a VMEM permutation load,
                 # whose divisibility Mosaic can't derive on its own
                 sl = pl.ds(pl.multiple_of(j * tri_tile, 128), tri_tile)
+                # per-block local frame + split-bf16 operand rows: bf16
+                # truncation error scales with the block extent instead
+                # of the scene extent (ops/intersect_mxu precision notes)
+                c = block_centroid(blocks_ref, j)
+                oc = jnp.concatenate(
+                    [p[k : k + 1] - c[k] for k in range(3)], axis=0
+                )  # [3, R]
+                q4c = jnp.concatenate(
+                    [oc, jnp.ones_like(oc[0:1])], axis=0
+                )  # [4, R]
                 if merged:
-                    # tiny scene: ONE [5*TT, 27] @ [27, R] matmul covers
+                    # tiny scene: ONE [5*TT, 39] @ [39, R] matmul covers
                     # the three edge tests AND num/den (operand layout
-                    # [e_AB | e_BC | e_CA | A_num | A_den], see
-                    # sample_fused) - the separate matmuls each waste a
-                    # mostly-empty 128-row MXU tile when 5*TT <= 128
-                    rhs27 = jnp.concatenate([r6, nd_rhs], axis=0)
-                    out = dot_bf16(comb_ref[:].T, rhs27)  # [5*TT, R]
+                    # [edge lhs rows | A_num | A_den], see sample_fused) -
+                    # separate matmuls each waste a mostly-empty 128-row
+                    # MXU tile when 5*TT <= 128
+                    rhs39 = jnp.concatenate(
+                        [build_edge_rhs(dirv, oc), build_nd_rhs(q4c, dirv)],
+                        axis=0,
+                    )
+                    out = dot_bf16(comb_ref[:].T, rhs39)  # [5*TT, R]
                     w1 = out[0:tri_tile]
                     w2 = out[tri_tile : 2 * tri_tile]
                     w3 = out[2 * tri_tile : 3 * tri_tile]
                     num = out[3 * tri_tile : 4 * tri_tile]
                     den = out[4 * tri_tile : 5 * tri_tile]
                 else:
-                    # one [3*TT, 6] @ [6, R] matmul for all three edge
+                    # one [3*TT, 18] @ [18, R] matmul for all three edge
                     # tests (blocks of ecat are laid out [e_AB|e_BC|e_CA])
                     sl3 = pl.ds(
                         pl.multiple_of(j * 3 * tri_tile, 128), 3 * tri_tile
                     )
-                    w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3*TT, R]
+                    w = dot_bf16(
+                        build_edge_lhs(ecat_ref[:, sl3]).T,
+                        build_edge_rhs(dirv, oc),
+                    )  # [3*TT, R]
                     w1 = w[0:tri_tile]
                     w2 = w[tri_tile : 2 * tri_tile]
                     w3 = w[2 * tri_tile : 3 * tri_tile]
@@ -237,7 +262,9 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                     slnd = pl.ds(
                         pl.multiple_of(j * 2 * tri_tile, 128), 2 * tri_tile
                     )
-                    nd_out = dot_bf16(pnd_ref[:, slnd].T, nd_rhs)  # [2*TT, R]
+                    nd_out = dot_bf16(
+                        pnd_ref[:, slnd].T, build_nd_rhs(q4c, dirv)
+                    )  # [2*TT, R]
                     num = nd_out[:tri_tile]
                     den = nd_out[tri_tile:]
                 t = num / jnp.where(den == 0.0, 1.0, den)
@@ -256,12 +283,19 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                     jnp.broadcast_to(better, cand.shape), cand, best_attr
                 )
                 best_key = jnp.where(better, kmin, best_key)
-                return best_key, best_attr
+                if not record:
+                    return best_key, best_attr
+                # global winner row: the replay engine gathers per-face
+                # attributes by this index (models/replay.py).  The tri
+                # carry exists only in record mode - extra rolled-loop
+                # state measurably costs the forward path (round 2).
+                tri_cand = j * tri_tile + (kmin & jnp.int32(0xFF))
+                best_tri = jnp.where(better, tri_cand, best_tri)
+                return best_key, best_attr, best_tri
 
             def body(jj, carry):
-                best_key, best_attr = carry
                 if num_tiles == 1:
-                    return intersect_block(jj, best_key, best_attr)
+                    return intersect_block(jj, *carry)
                 # front-to-back: visit blocks by distance from the tile's
                 # origin centroid (perm precomputed outside) so near hits
                 # shrink best_t early and the tmin prune kills far blocks
@@ -275,23 +309,28 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                     t2 = (hi[k] - p[k : k + 1]) * inv_d[k : k + 1]
                     tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
                     tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                best_key = carry[0]
                 best_t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
                 live = (tmax >= tmin) & (tmax >= 0.0) & (tmin <= best_t)
                 return lax.cond(
                     jnp.any(live),
-                    lambda a, b: intersect_block(j, a, b),
-                    lambda a, b: (a, b),
-                    best_key,
-                    best_attr,
+                    lambda *c: intersect_block(j, *c),
+                    lambda *c: c,
+                    *carry,
                 )
 
             init = (
                 jnp.full((1, r), _MAXKEY, jnp.int32),
                 jnp.zeros((_N_ATTR, r), jnp.float32),
             )
-            best_key, best_attr = lax.fori_loop(0, num_tiles, body, init)
+            if record:
+                init = init + (jnp.zeros((1, r), jnp.int32),)
+            out = lax.fori_loop(0, num_tiles, body, init)
+            best_key, best_attr = out[0], out[1]
             t = pltpu.bitcast(best_key & jnp.int32(~0xFF), jnp.float32)
             hit = t < MAX_DIST * 0.999
+            if record:
+                return t, hit, best_attr, jnp.where(hit, out[2], -1)
             return t, hit, best_attr
 
         # ---- per-sample state (transposed SoA, rays on lanes) ----
@@ -351,7 +390,14 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         def bounce_body(bounce_j, state):
             # the emit_ok flag exists only under NEE; the non-NEE kernel
             # carries 11 slots (the extra state measurably cost the
-            # single-block forward path ~3% in round 2)
+            # single-block forward path ~3% in round 2).  Record mode
+            # appends per-bounce accumulator planes (uniforms + winner
+            # rows) updated by a one-hot row select - no dynamic stores,
+            # so the rolled multi-block loop lowers unchanged.
+            state = list(state)
+            if record:
+                u_acc, tri_acc, sun_acc = state[-3:]
+                state = state[:-3]
             if nee:
                 (p, n, mtype, rough, live_f, color, in_dir,
                  thr, rad, esc_thr, esc_dir, emit_ok_f) = state
@@ -475,7 +521,10 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             thr = _where3(live, thr * factor, thr)
 
             # ---- bounce segment ----
-            t, hit, attr = trace(p, bdir)
+            if record:
+                t, hit, attr, seg_tri = trace(p, bdir)
+            else:
+                t, hit, attr = trace(p, bdir)
             miss = live & ~hit
 
             # escape record: at most one escape per path, env added outside
@@ -483,7 +532,10 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             esc_dir = _where3(miss, bdir, esc_dir)
 
             if sun_enabled:
-                st, shit, sattr = trace(p, sun_dir)
+                if record:
+                    st, shit, sattr, sun_tri = trace(p, sun_dir)
+                else:
+                    st, shit, sattr = trace(p, sun_dir)
                 s_mtype = sattr[_A_MT : _A_MT + 1]
                 s_color = sattr[_A_CR : _A_RO]
                 unocc = (~shit) & (mtype != _GLASS)
@@ -493,6 +545,25 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                     + glass_occ.astype(jnp.float32) * s_color * sun_power
                 )
                 rad = rad + _where3(miss, thr * sun_light, jnp.zeros_like(rad))
+
+            if record:
+                # one-hot row select: bounce j's rows of each accumulator
+                mb1 = max_bounce + 1
+                rows_u = lax.broadcasted_iota(jnp.int32, (2 * mb1, r), 0)
+                u_val = jnp.where(rows_u < mb1, jnp.broadcast_to(u1, (2 * mb1, r)),
+                                  jnp.broadcast_to(u2, (2 * mb1, r)))
+                hit_u = (rows_u == bounce_j) | (rows_u == mb1 + bounce_j)
+                u_acc = jnp.where(hit_u, u_val, u_acc)
+                rows_b = lax.broadcasted_iota(jnp.int32, (mb1, r), 0)
+                tri_acc = jnp.where(
+                    rows_b == bounce_j,
+                    jnp.broadcast_to(seg_tri, (mb1, r)), tri_acc,
+                )
+                if sun_enabled:
+                    sun_acc = jnp.where(
+                        rows_b == bounce_j,
+                        jnp.broadcast_to(sun_tri, (mb1, r)), sun_acc,
+                    )
 
             live = live & hit
 
@@ -507,12 +578,25 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                    in_dir, thr, rad, esc_thr, esc_dir)
             if nee:
                 out = out + (emit_ok.astype(jnp.float32),)
+            if record:
+                out = out + (u_acc, tri_acc, sun_acc)
             return out
 
         state = (p, n, mtype, rough, live.astype(jnp.float32), color,
                  in_dir, thr, rad, esc_thr, esc_dir)
         if nee:
             state = state + (thr[0:1] * 0.0 + 1.0,)
+        if record:
+            # seeds derived from p, not splat constants (the replicated-
+            # layout carry pitfall, see zero3 above)
+            mb1 = max_bounce + 1
+            fz = p[0:1] * 0.0  # [1, r]
+            iz = fz.astype(jnp.int32)
+            state = state + (
+                jnp.zeros((2 * mb1, r), jnp.float32) + fz,
+                jnp.zeros((mb1, r), jnp.int32) + iz - 1,
+                jnp.zeros((mb1, r), jnp.int32) + iz - 1,
+            )
         if num_tiles > 1:
             # big scenes: rolled bounce loop - the per-bounce body embeds
             # a num_tiles-iteration traversal loop, and unrolling it
@@ -534,12 +618,18 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
         rad_ref[:] = rad
         escthr_ref[:] = esc_thr
         escdir_ref[:] = esc_dir
+        if record:
+            u_rec_ref[:] = state[-3]
+            tri_rec_ref[:] = state[-2]
+            if sun_enabled:
+                sun_rec_ref[:] = state[-1]
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_bounce", "sun_enabled", "interpret", "nee")
+    jax.jit,
+    static_argnames=("max_bounce", "sun_enabled", "interpret", "nee", "record"),
 )
 def sample_fused(
     feats: TriFeatures,
@@ -561,10 +651,17 @@ def sample_fused(
     uniforms: jnp.ndarray | None = None,
     nee: bool = False,
     lights=None,
+    record: bool = False,
 ):
     """One Monte-Carlo sample for ``N`` rays starting at their (cached)
     primary vertices.  Returns ``(rad [N,3], esc_thr [N,3], esc_dir
     [N,3])``; total sample radiance = ``rad + esc_thr * env(esc_dir)``.
+
+    ``record=True`` (BSDF path only, incompatible with ``nee``) extends
+    the return with the discrete path structure for the replay gradient
+    engine: ``(u [mb+1, N, 2], tri [mb+1, N], sun_tri [mb+1, N])``
+    (ints, -1 = miss; ``sun_tri`` all -1 when the sun is off) - the
+    recorder runs at fused-kernel speed (models/replay.py).
 
     ``uniforms [max_bounce + 1, N, 2]`` (or ``[..., N, 5]`` with NEE)
     switches the kernel to the explicit-stream test mode
@@ -621,10 +718,12 @@ def sample_fused(
     # a mostly-empty 128-row MXU tile; when all 5*TT rows fit in one tile
     # a single merged matmul per block saves a third of the MXU passes
     merged = num_tiles == 1 and 5 * tri_tile <= 128
+    if record and nee:
+        raise ValueError("record mode is BSDF-only (replay has no NEE)")
     kernel = _make_kernel(
         max_bounce, sun_enabled, tp, num_tiles, tri_tile,
         use_prng=use_prng, merged=merged,
-        nee=nee, n_lights=n_lights, lp=lp_pad,
+        nee=nee, n_lights=n_lights, lp=lp_pad, record=record,
     )
 
     full = lambda *shape: pl.BlockSpec(
@@ -633,19 +732,19 @@ def sample_fused(
     ray_spec = lambda k: pl.BlockSpec(
         (k, ray_tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM
     )
-    # shared packed operands (ops/intersect_mxu.py): block-interleaved
-    # edge features and the 3-term split-bf16 num/den table
-    ecat = build_ecat(feats.edges, num_tiles, tri_tile)
-    pnd = build_pnd(feats.plane, feats.normal_d, num_tiles, tri_tile)
+    # shared packed operands (ops/intersect_mxu.py): block-recentered
+    # split-bf16 edge features and the 3-term split-bf16 num/den table
+    ecat = build_ecat(feats.edges_c, num_tiles, tri_tile)
+    pnd = build_pnd(feats.plane_c, feats.normal_d, num_tiles, tri_tile)
 
     if merged:
-        # [27, 5*TT]: rows 0-5 (ray r6 side) carry the edge columns, rows
-        # 6-26 (nd_rhs side) carry the num/den columns - zero elsewhere so
-        # the single matmul computes exactly the two separate products
-        comb = jnp.zeros((27, 5 * tp), jnp.float32)
-        comb = comb.at[0:6, 0 : 3 * tp].set(ecat)
-        comb = comb.at[6:27, 3 * tp : 5 * tp].set(pnd)
-        geom_specs = [full(27, 5 * tp)]
+        # [39, 5*TT]: rows 0-17 (edge-rhs side) carry the edge columns,
+        # rows 18-38 (nd_rhs side) carry the num/den columns - zero
+        # elsewhere so the single matmul computes the separate products
+        comb = jnp.zeros((39, 5 * tp), jnp.float32)
+        comb = comb.at[0:18, 0 : 3 * tp].set(build_edge_lhs(ecat))
+        comb = comb.at[18:39, 3 * tp : 5 * tp].set(pnd)
+        geom_specs = [full(39, 5 * tp)]
         geom_ops = [comb]
     else:
         geom_specs = [full(6, 3 * tp), full(21, 2 * tp)]
@@ -709,23 +808,43 @@ def sample_fused(
         u = u.transpose(0, 2, 1).reshape((max_bounce + 1) * n_u, n_pad)
         in_specs.append(ray_spec((max_bounce + 1) * n_u))
         operands.append(u)
+    out_specs = [ray_spec(3), ray_spec(3), ray_spec(3)]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+    ]
+    mb1 = max_bounce + 1
+    if record:
+        out_specs.append(ray_spec(2 * mb1))
+        out_shape.append(jax.ShapeDtypeStruct((2 * mb1, n_pad), jnp.float32))
+        out_specs.append(ray_spec(mb1))
+        out_shape.append(jax.ShapeDtypeStruct((mb1, n_pad), jnp.int32))
+        if sun_enabled:
+            out_specs.append(ray_spec(mb1))
+            out_shape.append(jax.ShapeDtypeStruct((mb1, n_pad), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if num_tiles > 1 else 2,
         grid=(n_pad // ray_tile,),
         in_specs=in_specs,
-        out_specs=(ray_spec(3), ray_spec(3), ray_spec(3)),
+        out_specs=tuple(out_specs),
     )
-    rad, esc_thr, esc_dir = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*operands)
-    return rad.T[:n_rays], esc_thr.T[:n_rays], esc_dir.T[:n_rays]
+    rad, esc_thr, esc_dir = outs[:3]
+    if not record:
+        return rad.T[:n_rays], esc_thr.T[:n_rays], esc_dir.T[:n_rays]
+    u_rec = outs[3]  # [2*mb1, Np]: u1 rows then u2 rows
+    tri_rec = outs[4][:, :n_rays]
+    sun_rec = (outs[5][:, :n_rays] if sun_enabled
+               else jnp.full((mb1, n_rays), -1, jnp.int32))
+    u = jnp.stack([u_rec[:mb1, :n_rays], u_rec[mb1:, :n_rays]], axis=-1)
+    return (rad.T[:n_rays], esc_thr.T[:n_rays], esc_dir.T[:n_rays],
+            u, tri_rec, sun_rec)
 
 
 # ---------------------------------------------------------------------------

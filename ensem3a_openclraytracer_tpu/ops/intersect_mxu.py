@@ -19,10 +19,31 @@ so intermediates stay small.  Everything is branch-free, gather-free,
 and MXU-resident - the speed-of-light design for scenes up to a few
 hundred-k triangles (the reference's largest scene is 15,756).
 
-Precision note: side tests use f32 accumulation (bf16 signs flip near
-edges); w == 0 counts as inside on both signs, so shared edges never
-leak a miss (the watertightness the reference's float-equality tests
-lack, SURVEY.md section 2.6).
+Precision design (the part that makes bf16 MXU passes usable at all):
+the Plucker/plane features scale like R^2 with R the distance from the
+coordinate origin, while the *signal* (w crossing zero at an edge, the
+numerator vanishing at the ray origin's own surface) scales with the
+triangle size h.  A raw bf16 pass loses the signal entirely once
+h < R/16 - measured 38% wrong-triangle picks on the 15.7k-triangle
+Monkey scene's bounce rays in round 2.  Two fixes, both free on the
+MXU (the contraction dim pads to 128 regardless):
+
+  * **Per-block local frames.**  Features are precomputed about each
+    TRI_TILE block's AABB centroid (blocks are Morton-ordered, so the
+    centroid is tight); the kernels rebuild the ray-side operand about
+    the same centroid per visited block (a handful of VPU rows).
+    Operand magnitudes drop from scene scale to block scale.
+  * **Split-bf16 side tests.**  w = e_hi.r_hi + e_lo.r_hi + e_hi.r_lo
+    (three-term split product, same scheme build_pnd already used for
+    the hit distance) - 18 contraction rows instead of 6, one MXU pass
+    either way.
+
+w == 0 still counts as inside on both signs, so shared edges inside a
+block never leak a miss (exact-negation watertightness); edges shared
+ACROSS blocks are evaluated in two different local frames, where the
+residual-error band (~2^-16 of block scale) replaces exact negation -
+far tighter than the reference's float-equality tests (SURVEY.md
+section 2.6).
 """
 
 from __future__ import annotations
@@ -45,10 +66,20 @@ class TriFeatures(NamedTuple):
     ``edges`` is ``[3, 6, Tp]`` (edge AB / BC / CA Plucker features,
     transposed for the matmul), ``plane`` is ``[4, Tp]`` as
     ``[-n, n.A]`` so ``t * (n.d) = [o, 1] @ plane``; ``num_tris`` is the
-    real (unpadded) count."""
+    real (unpadded) count.
 
-    edges: jnp.ndarray  # [3, 6, Tp] float32
-    plane: jnp.ndarray  # [4, Tp] float32
+    ``edges``/``plane`` are in the global frame (consumed by the exact
+    f32 :func:`trace_mxu` scan path).  ``edges_c``/``plane_c`` hold the
+    same features recentered about each TRI_TILE block's AABB centroid
+    (identical shapes; only ``A x B`` and ``n.A`` change - ``A - B``
+    and ``n`` are translation invariant).  The bf16 Pallas kernels use
+    the recentered copies with a matching per-block ray-side rebuild;
+    see the module docstring's precision design."""
+
+    edges: jnp.ndarray  # [3, 6, Tp] float32, global frame
+    plane: jnp.ndarray  # [4, Tp] float32, global frame
+    edges_c: jnp.ndarray  # [3, 6, Tp] float32, block-recentered
+    plane_c: jnp.ndarray  # [4, Tp] float32, block-recentered
     normal_d: jnp.ndarray  # [3, Tp] float32 (n, for the denominator matmul)
     block_bounds: jnp.ndarray  # [B, 8] AABB per TRI_TILE block (+2 pad cols)
     num_tris: int
@@ -101,10 +132,28 @@ def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
             blk = allv[:, lo_t:hi_t].reshape(-1, 3)
             bounds[b, :3] = blk.min(axis=0)
             bounds[b, 3:6] = blk.max(axis=0)
-    # padding: n == 0 -> den == 0 -> rejected as parallel
+
+    # block-recentered copies for the bf16 kernels.  The centroid MUST
+    # be computed exactly like the kernels recompute it from the slab
+    # bounds: 0.5f * (lo + hi), all in f32.
+    edges_c = edges.copy()
+    plane_c = plane.copy()
+    for b in range(nb):
+        lo_t, hi_t = b * TRI_TILE, min((b + 1) * TRI_TILE, t)
+        if lo_t >= hi_t:
+            continue
+        c = np.float32(0.5) * (bounds[b, :3] + bounds[b, 3:6])  # [3] f32
+        sl = slice(lo_t, hi_t)
+        a_, b_, c_ = v0[sl] - c, v1[sl] - c, v2[sl] - c
+        for e_i, (x, y) in enumerate(((a_, b_), (b_, c_), (c_, a_))):
+            edges_c[e_i, :3, sl] = np.cross(x, y).T  # A' x B'
+            # rows 3:6 (A - B) are translation invariant: keep
+        plane_c[3, sl] = np.einsum("td,td->t", n[sl], a_)  # n . A'
     return TriFeatures(
         edges=jnp.asarray(edges),
         plane=jnp.asarray(plane),
+        edges_c=jnp.asarray(edges_c),
+        plane_c=jnp.asarray(plane_c),
         normal_d=jnp.asarray(normal_d),
         block_bounds=jnp.asarray(bounds),
         num_tris=t,
@@ -161,6 +210,43 @@ def build_nd_rhs(q4: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
     d_lo = d - d_hi
     return jnp.concatenate([q_hi, q_lo, q_hi, d_hi, d_lo, d_hi], axis=0)
+
+
+def _split_hi_lo(x: jnp.ndarray):
+    """bf16 split: hi carries the top 8 mantissa bits, lo the residual
+    (itself bf16-truncated by the MXU - total ~2^-16 representation)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def block_centroid(blocks_ref, j):
+    """The per-block local-frame origin: 0.5f * (lo + hi) of the block's
+    slab AABB - must match build_tri_features' recentering exactly."""
+    return [0.5 * (blocks_ref[j, k] + blocks_ref[j, 3 + k]) for k in range(3)]
+
+
+def build_edge_rhs(d, oc) -> jnp.ndarray:
+    """Ray-side rhs ``[18, R]`` for the recentered edge operand: the
+    three-term split product pairs lhs rows ``[e_hi, e_lo, e_hi]`` with
+    ``[r_hi, r_hi, r_lo]`` where ``r = [d, d x (o - c)]``."""
+    dxoc = jnp.concatenate(
+        [
+            d[1:2] * oc[2:3] - d[2:3] * oc[1:2],
+            d[2:3] * oc[0:1] - d[0:1] * oc[2:3],
+            d[0:1] * oc[1:2] - d[1:2] * oc[0:1],
+        ],
+        axis=0,
+    )
+    r6c = jnp.concatenate([d, dxoc], axis=0)  # [6, R]
+    r_hi, r_lo = _split_hi_lo(r6c)
+    return jnp.concatenate([r_hi, r_hi, r_lo], axis=0)
+
+
+def build_edge_lhs(e: jnp.ndarray) -> jnp.ndarray:
+    """Triangle-side ``[18, 3TT]`` stack ``[e_hi, e_lo, e_hi]`` matching
+    :func:`build_edge_rhs`'s row pairing."""
+    e_hi, e_lo = _split_hi_lo(e)
+    return jnp.concatenate([e_hi, e_lo, e_hi], axis=0)
 
 
 def _ray_features(ray_o, ray_d):
@@ -257,9 +343,10 @@ def _mxu_kernel(*refs):
     """One ray tile vs all triangle tiles; everything VMEM-resident.
 
     Layouts are transposed so the lane (last, 128-wide) axis is rays:
-    ``edges [3, 6, Tp]``, ``plane [4, Tp]``, ``nd [3, Tp]``,
-    ``blocks [B, 8]``, ``r6 [6, R]``, ``q4 [4, R]``, ``d [3, R]``;
-    outputs ``[1, R]``.
+    ``ecat [6, 3Tp]``, ``pnd [21, 2Tp]``, ``blocks [B, 8]``,
+    ``q4 [4, R]``, ``d [3, R]``; outputs ``[1, R]``.  The ray-side
+    matmul operands are rebuilt per visited block about its AABB
+    centroid (precision design, module docstring).
 
     Two-level culling: before paying the matmuls for triangle block j,
     the tile slab-tests its rays against block j's AABB and skips the
@@ -276,35 +363,31 @@ def _mxu_kernel(*refs):
 
     refs = list(refs)
     perm_ref = lodist_ref = None
-    if len(refs) > 8:  # multi-block: two scalar-prefetch operands first
+    if len(refs) > 7:  # multi-block: two scalar-prefetch operands first
         perm_ref = refs.pop(0)   # [G, B] int32 per-tile visit order
         lodist_ref = refs.pop(0)  # [G, B] f32 dist lower bound, perm order
     (ecat_ref, pnd_ref, blocks_ref,
-     r6_ref, q4_ref, d_ref, best_t_ref, best_i_ref) = refs
+     q4_ref, d_ref, best_t_ref, best_i_ref) = refs
     pid = pl.program_id(0)
 
-    r6 = r6_ref[:]  # [6, R]
     q4 = q4_ref[:]  # [4, R]
     d = d_ref[:]  # [3, R]
-    r = r6.shape[-1]
+    r = q4.shape[-1]
     tp = ecat_ref.shape[-1] // 3
     tri_tile = min(TRI_TILE, tp)
     num_tiles = tp // tri_tile
     row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
 
     def dot_bf16(a, b):
-        # single-pass bf16 MXU dot.  Edge watertightness survives bf16:
-        # shared-edge features are exact negations, so the two triangles'
-        # w's are exact negatives and one side always accepts.  The hit
-        # distance instead goes through the 3-term split-bf16 pnd operand
-        # (build_pnd), which recovers ~2^-16 relative accuracy.
+        # single-pass bf16 MXU dot; both operand stacks carry split-bf16
+        # rows (build_edge_lhs/rhs, build_pnd/nd_rhs) so the products
+        # recover ~2^-16 relative accuracy at one pass
         return lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             precision=lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )
 
-    nd_rhs = build_nd_rhs(q4, d)  # [21, R]
     o3 = q4[:3]  # [3, R] origins
     tiny = 1e-12
     d_safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
@@ -317,16 +400,26 @@ def _mxu_kernel(*refs):
     best_blk = jnp.zeros((1, r), jnp.int32)
 
     def intersect_block(j, best_key, best_blk):
+        # per-block local frame: rebuild the ray-side operands about the
+        # block's AABB centroid so bf16 truncation error scales with the
+        # block extent, not the scene extent (module docstring)
+        c = block_centroid(blocks_ref, j)
+        oc = jnp.concatenate(
+            [o3[k : k + 1] - c[k] for k in range(3)], axis=0
+        )  # [3, R]
         sl3 = pl.ds(pl.multiple_of(j * 3 * tri_tile, 128), 3 * tri_tile)
-        w = dot_bf16(ecat_ref[:, sl3].T, r6)  # [3TT, R]
+        w = dot_bf16(
+            build_edge_lhs(ecat_ref[:, sl3]).T, build_edge_rhs(d, oc)
+        )  # [3TT, R]
         w1 = w[0:tri_tile]
         w2 = w[tri_tile : 2 * tri_tile]
         w3 = w[2 * tri_tile : 3 * tri_tile]
         wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
         wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
         inside = (wmin >= 0) | (wmax <= 0)
+        q4c = jnp.concatenate([oc, jnp.ones_like(oc[0:1])], axis=0)  # [4, R]
         slnd = pl.ds(pl.multiple_of(j * 2 * tri_tile, 128), 2 * tri_tile)
-        nd_out = dot_bf16(pnd_ref[:, slnd].T, nd_rhs)  # [2TT, R]
+        nd_out = dot_bf16(pnd_ref[:, slnd].T, build_nd_rhs(q4c, d))  # [2TT, R]
         num = nd_out[:tri_tile]
         den = nd_out[tri_tile:]
         t = num / jnp.where(den == 0.0, 1.0, den)
@@ -420,21 +513,21 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
             hit=jnp.concatenate([h.hit for h in parts]),
         )
 
-    r6, q4 = _ray_features(ray_o, ray_d)
-
     tp = feats.edges.shape[-1]
     multi = tp > TRI_TILE
     ray_tile = RAY_TILE_MULTI if multi else RAY_TILE
 
     np_pad = (-n) % ray_tile
-    r6 = jnp.pad(r6, ((0, np_pad), (0, 0))).T  # [6, Np]
+    q4 = jnp.concatenate(
+        [ray_o, jnp.ones_like(ray_o[:, :1])], axis=-1
+    )  # [N, 4]
     q4 = jnp.pad(q4, ((0, np_pad), (0, 0))).T  # [4, Np]
     d = jnp.pad(ray_d, ((0, np_pad), (0, 0))).T  # [3, Np]
     n_pad = n + np_pad
 
     t_pad = (-tp) % min(TRI_TILE, tp) if tp >= TRI_TILE else 0
-    edges = jnp.pad(feats.edges, ((0, 0), (0, 0), (0, t_pad)))
-    plane = jnp.pad(feats.plane, ((0, 0), (0, t_pad)))
+    edges = jnp.pad(feats.edges_c, ((0, 0), (0, 0), (0, t_pad)))
+    plane = jnp.pad(feats.plane_c, ((0, 0), (0, t_pad)))
     nd = jnp.pad(feats.normal_d, ((0, 0), (0, t_pad)))
     blocks = feats.block_bounds
     tpp = tp + t_pad
@@ -457,7 +550,6 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
         full(6, 3 * tpp),
         full(21, 2 * tpp),
         full(*blocks.shape),
-        ray_spec(6),
         ray_spec(4),
         ray_spec(3),
     ]
@@ -465,7 +557,7 @@ def trace_mxu_pallas(feats: TriFeatures, ray_o, ray_d, *, interpret: bool = Fals
         jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
     )
-    operands = [ecat, pnd, blocks, r6, q4, d]
+    operands = [ecat, pnd, blocks, q4, d]
 
     if multi:
         # per-tile front-to-back visit order + a conservative lower

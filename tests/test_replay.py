@@ -135,3 +135,59 @@ def test_replay_explicit_uniforms_match_scan():
     np.testing.assert_allclose(
         np.asarray(img_rep), np.asarray(img_scan), rtol=2e-5, atol=2e-5
     )
+
+
+def test_fused_recorder_matches_scan_recorder():
+    """The in-kernel recorder (sample_fused(record=True), interpret mode)
+    emits the exact same discrete path structure as the scan-path
+    recorder when both consume the same explicit uniform stream."""
+    from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
+    from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
+    from ensem3a_openclraytracer_tpu.ops.envmap import sun_direction
+    from ensem3a_openclraytracer_tpu.models.pathtracer import (
+        _gather_surface,
+        trace,
+    )
+
+    for name, (geom, m, e, c), sun in _scenes():
+        if geom.feats is None:
+            continue  # the fused kernel needs the MXU geometry path
+        ray_o, ray_d = camera_rays(
+            c.position, c.rotation_deg, c.fov_deg, RES, RES
+        )
+        n = ray_o.shape[0]
+        u = jax.random.uniform(
+            jax.random.PRNGKey(11), (SPP, MB + 1, n, 2)
+        )
+        ref = record_paths(
+            geom, m, e, ray_o, ray_d, None, spp=SPP, max_bounce=MB,
+            sun_enabled=sun, uniforms=u, fused=False,
+        )
+
+        primary_hit = trace(geom, ray_o, ray_d)
+        surf = _gather_surface(geom, m, ray_o, ray_d, primary_hit)
+        tri_attrs = fused_ops.build_tri_attrs(
+            geom.n, geom.mat, m.mtype, m.color, m.roughness,
+            geom.feats.edges.shape[-1],
+        )
+        for s in range(SPP):
+            _, _, _, u_rec, tri_rec, sun_rec = fused_ops.sample_fused(
+                geom.feats, tri_attrs, surf.p, surf.n, surf.mtype,
+                surf.color, surf.rough, primary_hit.hit, ray_d,
+                sun_direction(e.sun_angles_deg), e.sun_power,
+                jax.random.PRNGKey(0),
+                max_bounce=MB, sun_enabled=sun, interpret=True,
+                uniforms=u[s], record=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(u_rec), np.asarray(u[s]), rtol=0, atol=0,
+                err_msg=f"{name} uniforms echo",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(tri_rec), np.asarray(ref.tri[s]),
+                err_msg=f"{name} sample {s} tri records",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sun_rec), np.asarray(ref.sun_tri[s]),
+                err_msg=f"{name} sample {s} sun records",
+            )
