@@ -260,6 +260,103 @@ def bench_pixel_grad_err():
     )
 
 
+def bench_big_scene_forward():
+    """>65k-triangle workload (the reference's whole scaling story is
+    that its BVH works at any size, MathLib.cl:234-288): a 150k-triangle
+    procedural outdoor scene through the HBM-streamed pair-compaction
+    engine (ops/compact.py)."""
+    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+    from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene
+
+    n_cubes = 20 if CPU_SMOKE else 12500
+    res = 32 if CPU_SMOKE else 256
+    spp = 2 if CPU_SMOKE else 16
+    mb = 4
+    geom, materials, env, camera = make_outdoor_scene(
+        n_cubes=n_cubes, use_bvh=False
+    )
+    fn = jax.jit(
+        functools.partial(
+            render_radiance,
+            height=res,
+            width=res,
+            spp=spp,
+            max_bounce=mb,
+            sun_enabled=True,
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    fn(geom, materials, env, camera, key)  # compile
+
+    def run(k):
+        return fn(geom, materials, env, camera, k)
+
+    dt = _time(run, jax.random.fold_in(key, 1), runs=2)
+    _emit(
+        "big150k_forward_mrays_per_s",
+        _rays(res, spp, mb, sun=True) / dt / 1e6,
+        "Mrays/s",
+    )
+
+
+def bench_nonlinear_grad_err():
+    """Gradient accuracy through the NONLINEAR paths (VERDICT round 2:
+    the sun_power metric is linear and proves plumbing only): max
+    relative error of d(sum image)/d(albedo) and d/d(roughness) vs the
+    torch oracle's autograd on the procedural Cornell with sun + IBL.
+    Roughness feeds GGX (highly nonlinear); albedo multiplies through
+    every bounce.  Mirrors tests/test_oracle_parity.py:74 at bench scale."""
+    import numpy as np
+
+    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+    from ensem3a_openclraytracer_tpu.oracle.torch_oracle import render_scene_arrays
+    from ensem3a_openclraytracer_tpu.testing import (
+        cornell_camera,
+        cornell_env,
+        cornell_geometry,
+        cornell_materials,
+    )
+
+    res, spp, mb = 24, 2, 3
+    geom = cornell_geometry()
+    m, c = cornell_materials(), cornell_camera()
+    e = cornell_env()._replace(
+        sun_power=jnp.asarray(0.7, jnp.float32),
+        ibl_power=jnp.asarray(0.5, jnp.float32),
+    )
+    import numpy as _np
+
+    u = _np.random.default_rng(4321).random(
+        size=(spp, mb + 1, res * res, 2), dtype=_np.float64
+    ).astype(_np.float32)
+
+    def loss_jax(color, roughness):
+        m2 = m._replace(color=color, roughness=roughness)
+        img = render_radiance(
+            geom, m2, e, c, jax.random.PRNGKey(0),
+            height=res, width=res, spp=spp, max_bounce=mb,
+            sun_enabled=True, uniforms=jnp.asarray(u),
+        )
+        return jnp.sum(img)
+
+    g_color, g_rough = jax.grad(loss_jax, argnums=(0, 1))(m.color, m.roughness)
+
+    img_t, params = render_scene_arrays(
+        geom, m, e, c, u, height=res, width=res, max_bounce=mb,
+        sun_enabled=True, requires_grad=True,
+    )
+    img_t.sum().backward()
+
+    for name, metric, g_jax in (
+        ("color", "cornell_grad_albedo_max_abs_err", g_color),
+        ("roughness", "cornell_grad_roughness_max_abs_err", g_rough),
+    ):
+        g_ref = params[name].grad.numpy()
+        scale = max(np.abs(g_ref).max(), 1e-3)
+        rel = np.abs(np.asarray(g_jax) - g_ref) / scale
+        _emit(metric, float(rel.max()), "rel-to-max")
+
+
 REF_WORKLOADS = [
     # (metric tag, obj file; res/spp/bounce come from the scene's own ini)
     ("ref_cornell", "Cornell box.obj"),
@@ -334,7 +431,9 @@ def main():
     scene = bench_cornell_forward()
     bench_cornell_fwdbwd(scene)
     bench_pixel_grad_err()
+    bench_nonlinear_grad_err()
     bench_reference_scenes()
+    bench_big_scene_forward()
 
 
 if __name__ == "__main__":

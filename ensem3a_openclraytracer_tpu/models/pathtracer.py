@@ -57,6 +57,7 @@ from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
 from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
+from ensem3a_openclraytracer_tpu.ops.compact import trace_compact
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import trace_mxu, trace_mxu_pallas
 from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
@@ -83,23 +84,33 @@ def _on_tpu() -> bool:
 _SORT_MIN_BLOCKS = 4
 
 
-def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
-    """Closest-hit dispatch: the MXU matmul engine when the pack carries
-    triangle features (fastest for <= ~64k tris), LBVH traversal when it
-    carries a tree, tiled Moller-Trumbore otherwise.  Visibility is
-    non-differentiable by design; inputs are detached so no AD path
-    enters the trace.
+# features above this block count exceed the resident kernel's VMEM
+# budget (~240 B/tri); the HBM-streamed compact engine takes over
+_RESIDENT_MAX_BLOCKS = 256
 
-    Multi-block scenes sort the batch by (direction octant, origin
-    Morton) around the kernel call: coherent tiles let the kernel's
-    per-tile block culling and front-to-back early exit skip most of
-    the scene, and the results scatter back to caller order."""
+
+def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
+    """Closest-hit dispatch: the MXU matmul engines when the pack
+    carries triangle features (VMEM-resident kernel to ~64k tris, the
+    HBM-streamed per-ray pair-compaction engine beyond - ops/compact.py),
+    LBVH traversal when it carries only a tree, tiled Moller-Trumbore
+    otherwise.  Visibility is non-differentiable by design; inputs are
+    detached so no AD path enters the trace.
+
+    Multi-block scenes on the resident kernel sort the batch by
+    (direction octant, origin Morton) around the call: coherent tiles
+    let the per-tile block culling and front-to-back early exit skip
+    part of the scene, and the results scatter back to caller order.
+    The compact engine culls per RAY, so it needs no sort."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
-    if geom.feats is not None:
+    if geom.feats is not None and (_on_tpu() or geom.bvh is None):
+        feats = geom.feats
+        n_blocks = feats.block_bounds.shape[0]
         if _on_tpu():
-            feats = geom.feats
-            if feats.block_bounds.shape[0] >= _SORT_MIN_BLOCKS:
+            if n_blocks > _RESIDENT_MAX_BLOCKS:
+                return trace_compact(feats, ray_o, ray_d)
+            if n_blocks >= _SORT_MIN_BLOCKS:
                 order = fused_ops.coherent_order(ray_o, ray_d)
                 h = trace_mxu_pallas(feats, ray_o[order], ray_d[order])
                 unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
@@ -225,6 +236,10 @@ def radiance_for_rays(
         fused = (
             _on_tpu()
             and geom.feats is not None
+            # the whole-bounce-loop kernel holds every block's operands
+            # in VMEM; beyond the resident cap the scan estimator +
+            # compact trace engine take over
+            and geom.feats.block_bounds.shape[0] <= _RESIDENT_MAX_BLOCKS
             and uniforms is None
             and glass_mode == "tint"
             and (

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ensem3a_openclraytracer_tpu.models.pathtracer import (
+    _RESIDENT_MAX_BLOCKS,
     _gather_surface,
     _on_tpu,
     trace,
@@ -168,6 +169,7 @@ def record_paths(
         fused = (
             _on_tpu()
             and geom.feats is not None
+            and geom.feats.block_bounds.shape[0] <= _RESIDENT_MAX_BLOCKS
             and uniforms is None
             and glass_mode == "tint"
         )

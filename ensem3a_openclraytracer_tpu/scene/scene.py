@@ -131,14 +131,20 @@ def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack
     order = morton_order(v0, v1, v2)
     v0, v1, v2, n, uv, mat = v0[order], v1[order], v2[order], n[order], uv[order], mat[order]
 
+    auto_big = use_bvh is None and fd.shape[0] > MXU_TRACE_MAX_TRIS
     if use_bvh is None:
-        use_bvh = fd.shape[0] > MXU_TRACE_MAX_TRIS
+        use_bvh = auto_big
     bvh = None
     feats = None
     if use_bvh:
         nodes = build_lbvh(v0, v1, v2)
         bvh = BVHNodes(*(jnp.asarray(a) for a in nodes))
-    else:
+    if not use_bvh or auto_big:
+        # MXU features at any size: the VMEM-resident engine under
+        # MXU_TRACE_MAX_TRIS, the HBM-streamed pair-compaction engine
+        # (ops/compact.py) above it.  Auto-detected big scenes carry
+        # BOTH structures: TPU traces through the compact engine, CPU
+        # through the LBVH (pathtracer.trace dispatch).
         feats = build_tri_features(v0, v1, v2)
 
     return GeometryPack(

@@ -149,7 +149,14 @@ def test_fused_recorder_matches_scan_recorder():
         trace,
     )
 
-    for name, (geom, m, e, c), sun in _scenes():
+    from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene as _mos
+
+    scenes = list(_scenes())
+    # a >TRI_TILE scene: the rolled multi-block bounce loop carries the
+    # record accumulators through lax.fori_loop (different lowering path
+    # than the unrolled single-block kernel)
+    scenes.append(("outdoor_multiblock", _mos(n_cubes=64, use_bvh=False), True))
+    for name, (geom, m, e, c), sun in scenes:
         if geom.feats is None:
             continue  # the fused kernel needs the MXU geometry path
         ray_o, ray_d = camera_rays(
@@ -183,11 +190,17 @@ def test_fused_recorder_matches_scan_recorder():
                 np.asarray(u_rec), np.asarray(u[s]), rtol=0, atol=0,
                 err_msg=f"{name} uniforms echo",
             )
-            np.testing.assert_array_equal(
-                np.asarray(tri_rec), np.asarray(ref.tri[s]),
-                err_msg=f"{name} sample {s} tri records",
-            )
-            np.testing.assert_array_equal(
-                np.asarray(sun_rec), np.asarray(ref.sun_tri[s]),
-                err_msg=f"{name} sample {s} sun records",
-            )
+            # the two recorders trace with different engines (split-bf16
+            # kernel vs HIGHEST-precision scan): ties and edge pixels can
+            # pick different triangles, and a divergent pick forks the
+            # whole rest of that lane's path - bound the FRACTION, like
+            # the image-parity tests
+            for rec, ref_rec, what in (
+                (tri_rec, ref.tri[s], "tri"),
+                (sun_rec, ref.sun_tri[s], "sun"),
+            ):
+                frac = (np.asarray(rec) != np.asarray(ref_rec)).mean()
+                assert frac < 0.02, (
+                    f"{name} sample {s} {what} records diverge on "
+                    f"{frac:.2%} of lanes"
+                )
