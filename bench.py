@@ -330,22 +330,38 @@ def bench_nonlinear_grad_err():
         size=(spp, mb + 1, res * res, 2), dtype=_np.float64
     ).astype(_np.float32)
 
-    def loss_jax(color, roughness):
+    def render_jax(color, roughness):
         m2 = m._replace(color=color, roughness=roughness)
-        img = render_radiance(
+        return render_radiance(
             geom, m2, e, c, jax.random.PRNGKey(0),
             height=res, width=res, spp=spp, max_bounce=mb,
             sun_enabled=True, uniforms=jnp.asarray(u),
         )
-        return jnp.sum(img)
-
-    g_color, g_rough = jax.grad(loss_jax, argnums=(0, 1))(m.color, m.roughness)
 
     img_t, params = render_scene_arrays(
         geom, m, e, c, u, height=res, width=res, max_bounce=mb,
         sun_enabled=True, requires_grad=True,
     )
-    img_t.sum().backward()
+    # a few edge pixels pick a different triangle between the two f32
+    # Moller-Trumbore implementations and their whole paths fork - sum
+    # the loss over path-identical pixels only (same rationale and
+    # threshold as the linear sun_power metric above), with the SAME
+    # mask applied to both sides so the gradients are comparable
+    img_j0 = render_jax(m.color, m.roughness)
+    mask_np = (
+        np.abs(np.asarray(img_j0) - img_t.detach().numpy()).max(axis=-1)
+        < 1e-3
+    )
+    mask3 = mask_np[..., None]
+
+    g_color, g_rough = jax.grad(
+        lambda c_, r_: jnp.sum(render_jax(c_, r_) * jnp.asarray(mask3)),
+        argnums=(0, 1),
+    )(m.color, m.roughness)
+
+    import torch
+
+    (img_t * torch.as_tensor(mask3, dtype=img_t.dtype)).sum().backward()
 
     for name, metric, g_jax in (
         ("color", "cornell_grad_albedo_max_abs_err", g_color),

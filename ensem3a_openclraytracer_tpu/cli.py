@@ -231,10 +231,19 @@ def cmd_bench(args) -> int:
 
 
 def cmd_bench_scaling(args) -> int:
-    """Mesh-shape sweep: render the procedural Cornell over every (dp, sp)
-    factorization of the available devices and report rays/s per shape
-    (the BASELINE.md >= 85% linear-scaling harness; runs on a virtual
-    CPU mesh today, real pod slices when they exist)."""
+    """Scaling sweep, two parts (the BASELINE.md >= 85% linear-scaling
+    harness; runs on a virtual CPU mesh today, real pod slices when they
+    exist):
+
+      1. **device-count scaling** — render the same workload on meshes of
+         1, 2, 4, ... devices (dp only) and report each count's Mrays/s
+         plus ``efficiency`` = rate / (n * rate_1), the linear-scaling
+         fraction the >= 85% target reads directly;
+      2. **mesh-shape sweep** — every (dp, sp) factorization of the full
+         device set, reporting rays/s per shape relative to the first.
+
+    ``--out FILE`` additionally writes every record as a JSON line so the
+    sweep is a durable artifact (VERDICT round 2 item 7)."""
     import time as _time
 
     import jax
@@ -246,32 +255,77 @@ def cmd_bench_scaling(args) -> int:
 
     geom, materials, env, camera = make_cornell_scene(use_bvh=False)
     res, spp, mb = args.resolution or 128, args.spp or 16, 4
-    n = len(jax.devices())
-    shapes = []
-    for sp in range(1, n + 1):
-        if n % sp == 0 and spp % sp == 0 and res % (n // sp) == 0:
-            shapes.append((n // sp, sp))
-    base = None
+    devices = jax.devices()
+    n = len(devices)
     key = jax.random.PRNGKey(0)
-    for dp, sp in shapes:
-        mesh = make_mesh(sp=sp)
+    records = []
+    # on a virtual CPU mesh every "device" is a thread on the same host,
+    # so device-count efficiency measures host oversubscription, not ICI
+    # scaling - flag that in the artifact so the numbers can't be misread
+    virtual = jax.default_backend() == "cpu"
+
+    def emit(rec):
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def measure(mesh):
         fn = make_sharded_renderer(
             mesh, height=res, width=res, spp=spp, max_bounce=mb,
             sun_enabled=False,
         )
         jax.block_until_ready(fn(geom, materials, env, camera, key))  # compile
-        t0 = _time.perf_counter()
-        jax.block_until_ready(fn(geom, materials, env, camera, key))
-        dt = _time.perf_counter() - t0
-        mrays = rays_per_render(res, spp, mb, False) / dt / 1e6
-        if base is None:
-            base = mrays
-        print(json.dumps({
-            "metric": f"scaling_dp{dp}_sp{sp}_mrays_per_s",
+        runs = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(fn(geom, materials, env, camera, key))
+            runs.append(_time.perf_counter() - t0)
+        dt = sorted(runs)[1]
+        return rays_per_render(res, spp, mb, False) / dt / 1e6
+
+    # part 1: device-count scaling (dp only), efficiency vs linear
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n and res % c == 0]
+    rate1 = None
+    for c in counts:
+        mesh = make_mesh(devices[:c], sp=1)
+        mrays = measure(mesh)
+        if rate1 is None:
+            rate1 = mrays
+        rec = {
+            "metric": f"scaling_ndev{c}_mrays_per_s",
             "value": round(mrays, 3),
             "unit": "Mrays/s",
-            "vs_baseline": round(mrays / base, 3),
-        }), flush=True)
+            "efficiency": round(mrays / (c * rate1), 3),
+            "platform": jax.default_backend(),
+            "workload": f"cornell {res}^2/{spp}spp/{mb}b",
+        }
+        if virtual:
+            rec["note"] = (
+                "virtual host devices share one CPU; efficiency here "
+                "proves the harness, not ICI scaling"
+            )
+        emit(rec)
+
+    # part 2: mesh-shape sweep over the full device set
+    base = None
+    for sp in range(1, n + 1):
+        if n % sp == 0 and spp % sp == 0 and res % (n // sp) == 0:
+            dp = n // sp
+            mrays = measure(make_mesh(devices, sp=sp))
+            if base is None:
+                base = mrays
+            emit({
+                "metric": f"scaling_dp{dp}_sp{sp}_mrays_per_s",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / base, 3),
+                "platform": jax.default_backend(),
+            })
+
+    if getattr(args, "out", None):
+        with open(args.out, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        print(f"scaling sweep -> {args.out}")
     return 0
 
 
@@ -363,6 +417,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sweep (dp,sp) mesh shapes over available devices")
     b.add_argument("--resolution", type=int)
     b.add_argument("--spp", type=int)
+    b.add_argument("--out", help="also write the scaling records as JSON lines")
     b.set_defaults(fn=cmd_bench)
 
     i = sub.add_parser("info", help="scene statistics as JSON")

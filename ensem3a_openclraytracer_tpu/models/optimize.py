@@ -78,6 +78,8 @@ def render_for_grad(
     max_bounce: int,
     sun_enabled: bool = True,
     mesh=None,
+    nee: bool = False,
+    lights=None,
 ):
     """Differentiable render from a :class:`TrainableParams` pytree - the
     single entry point every gradient consumer (train step, fwd+bwd
@@ -85,18 +87,19 @@ def render_for_grad(
     everywhere at once.  Single-device renders use the path-replay
     engine (models/replay.py: trace once, differentiate a shading-only
     replay); sharded renders differentiate through the scan estimator
-    under ``shard_map``."""
+    under ``shard_map``.  ``nee=True`` (with ``lights``) switches both
+    engines to the low-variance next-event estimator."""
     m, e = params.apply(materials, env)
     if mesh is None:
         return render_radiance_replay(
             geom, m, e, camera, key,
             height=height, width=width, spp=spp, max_bounce=max_bounce,
-            sun_enabled=sun_enabled,
+            sun_enabled=sun_enabled, nee=nee, lights=lights,
         )
     return render_radiance_sharded(
         mesh, geom, m, e, camera, key,
         height=height, width=width, spp=spp, max_bounce=max_bounce,
-        sun_enabled=sun_enabled, fused=False,
+        sun_enabled=sun_enabled, fused=False, nee=nee, lights=lights,
     )
 
 
@@ -113,6 +116,8 @@ def make_train_step(
     max_bounce: int,
     mesh=None,
     sun_enabled: bool = True,
+    nee: bool = False,
+    lights=None,
 ):
     """Build ``(init, step)`` for inverse rendering against a target image.
 
@@ -134,6 +139,8 @@ def make_train_step(
             max_bounce=max_bounce,
             sun_enabled=sun_enabled,
             mesh=mesh,
+            nee=nee,
+            lights=lights,
         )
 
     def loss_fn(params, target, key):

@@ -320,10 +320,14 @@ def radiance_for_rays(
         reference's emissive surfaces)."""
         u3, u4, u5 = ul[:, 0], ul[:, 1], ul[:, 2]
         li = jnp.clip((u3 * n_lights).astype(jnp.int32), 0, n_lights - 1)
+        # light power re-derived from the material table (not the
+        # LightPack's constant snapshot) so d/d(emissive power) flows
+        # through NEE exactly as it does through BSDF-path emission
+        lpow_tab = materials.roughness[lights.mat]
         lrows = gather_rows(
             jnp.concatenate(
                 [lights.v0, lights.v1, lights.v2, lights.n,
-                 lights.power[:, None], lights.area[:, None]], axis=1
+                 lpow_tab[:, None], lights.area[:, None]], axis=1
             ),
             li,
         )

@@ -34,8 +34,12 @@ scan-path recorder with its threefry stream, which is what the
 replay-equals-scan parity tests pin.)
 
 Mirrors the reference estimator semantics the same way the scan path
-does (Raytracing.cl:39-153); NEE renders currently stay on the scan
-path.
+does (Raytracing.cl:39-153).  NEE is supported end-to-end: the recorder
+adds per-vertex (light uniforms, shadow visibility, hit distance)
+records and the replay evaluates the same NEE estimator as
+``pathtracer.nee_contribution`` - with the light power re-derived from
+the material table so emissive-power gradients flow (NEE records use the
+scan recorder; the fused recorder stays BSDF-only).
 """
 
 from __future__ import annotations
@@ -53,7 +57,15 @@ from ensem3a_openclraytracer_tpu.models.pathtracer import (
     trace,
 )
 from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
-from ensem3a_openclraytracer_tpu.ops.bsdf import EMISSIVE, GLASS, sample_bounce
+from ensem3a_openclraytracer_tpu.ops.bsdf import (
+    EMISSIVE,
+    GLASS,
+    GLOSSY,
+    eval_ggx,
+    eval_lambert,
+    sample_bounce,
+)
+from ensem3a_openclraytracer_tpu.ops.geometry import sample_point_in_triangle
 from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
@@ -71,12 +83,22 @@ class PathRecords(NamedTuple):
     ``tri``/``sun_tri`` use -1 for "no hit"; indices are in the packed
     (Morton-ordered) face space.  ``sun_tri`` is a full [spp, B+1, N]
     array of -1 when the sun is disabled (kept full-size so the replay
-    scan's xs leaves share the bounce axis)."""
+    scan's xs leaves share the bounce axis).
+
+    The last four fields exist only for NEE records (``None`` otherwise):
+    the replay reconstructs hit POSITIONS from ``t``/``primary_t`` (the
+    shadow-ray geometry needs them) and reads shadow-ray visibility from
+    ``light_vis`` instead of tracing."""
 
     u: jnp.ndarray  # [spp, B+1, N, 2] float32 uniforms
     tri: jnp.ndarray  # [spp, B+1, N] int32 bounce-segment hit
     sun_tri: jnp.ndarray  # [spp, B+1, N] int32 sun-shadow occluder
     primary_tri: jnp.ndarray  # [N] int32 cached primary hit
+    light_u: Optional[jnp.ndarray] = None  # [spp, B+1, N, 3] NEE uniforms
+    light_vis: Optional[jnp.ndarray] = None  # [spp, B+1, N] bool shadow-ray
+    #                                          visibility at each vertex
+    t: Optional[jnp.ndarray] = None  # [spp, B+1, N] f32 bounce hit distance
+    primary_t: Optional[jnp.ndarray] = None  # [N] f32 primary hit distance
 
 
 def _sample_uniforms(key: jax.Array, spp: int, max_bounce: int, n: int):
@@ -86,6 +108,17 @@ def _sample_uniforms(key: jax.Array, spp: int, max_bounce: int, n: int):
 
     def one(k):
         return jax.random.uniform(jax.random.fold_in(k, 0), (max_bounce + 1, n, 2))
+
+    return jax.vmap(one)(sample_keys)
+
+
+def _sample_light_uniforms(key: jax.Array, spp: int, max_bounce: int, n: int):
+    """The scan estimator's NEE stream: fold 1 per sample key
+    (pathtracer.one_sample's ``uls`` draw)."""
+    sample_keys = jax.random.split(key, spp)
+
+    def one(k):
+        return jax.random.uniform(jax.random.fold_in(k, 1), (max_bounce + 1, n, 3))
 
     return jax.vmap(one)(sample_keys)
 
@@ -154,6 +187,9 @@ def record_paths(
     uniforms: Optional[jnp.ndarray] = None,
     glass_mode: str = "tint",
     fused: Optional[bool] = None,
+    nee: bool = False,
+    lights=None,
+    light_uniforms: Optional[jnp.ndarray] = None,
 ) -> PathRecords:
     """Trace all paths once; no differentiable parameter participates.
 
@@ -161,10 +197,23 @@ def record_paths(
     the recorder - colors/roughness/powers never affect which triangle a
     path visits, so the records are reusable across parameter values.
 
+    ``nee=True`` (with ``lights``) additionally records, per path vertex,
+    the NEE light-sampling uniforms, the shadow-ray visibility bit, and
+    the bounce hit distances (positions are needed replay-side for the
+    shadow geometry) - the replayed NEE estimator then matches the scan
+    estimator's (pathtracer.nee_contribution) on the same stream.
+
     ``fused`` selects the in-kernel recorder (:func:`record_paths_fused`).
     Default (None) auto-enables it on TPU for the MXU geometry path with
-    tint glass and no explicit uniform stream - the same gate as the
-    forward renderer's fused engine."""
+    tint glass, no NEE, and no explicit uniform stream - the same gate as
+    the forward renderer's fused engine."""
+    if nee and lights is None:
+        raise ValueError("nee=True requires a LightPack")
+    if nee and uniforms is not None and light_uniforms is None:
+        raise ValueError(
+            "nee with an explicit uniform stream also needs light_uniforms "
+            "[spp, max_bounce + 1, N, 3]"
+        )
     if fused is None:
         fused = (
             _on_tpu()
@@ -172,8 +221,11 @@ def record_paths(
             and geom.feats.block_bounds.shape[0] <= _RESIDENT_MAX_BLOCKS
             and uniforms is None
             and glass_mode == "tint"
+            and not nee
         )
     if fused:
+        if nee:
+            raise ValueError("the fused recorder has no NEE mode")
         return record_paths_fused(
             geom, materials, env, ray_o, ray_d, key,
             spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
@@ -182,6 +234,15 @@ def record_paths(
     if uniforms is None:
         uniforms = _sample_uniforms(key, spp, max_bounce, n_rays)
     uniforms = jax.lax.stop_gradient(uniforms)
+    if nee and light_uniforms is None:
+        light_uniforms = _sample_light_uniforms(key, spp, max_bounce, n_rays)
+    if light_uniforms is not None:
+        light_uniforms = jax.lax.stop_gradient(light_uniforms)
+    n_lights = 0 if lights is None else lights.v0.shape[0]
+    if nee:
+        light_geo = jax.lax.stop_gradient(
+            jnp.concatenate([lights.v0, lights.v1, lights.v2], axis=1)
+        )  # [L, 9]
 
     # one pre-joined constant per-face table: a single row gather per
     # bounce step (native per-lane gathers cost ~340 us each on TPU)
@@ -206,15 +267,37 @@ def record_paths(
         mt = jnp.round(rows[:, 3]).astype(jnp.int32)
         return origin + direction * hit_t[:, None], n, mt, rows[:, 4]
 
-    def one_sample(us):
+    def one_sample(us, uls):
         p, n, mt, ior = surf_of(ray_o, ray_d, primary_hit.t, primary_tri)
         live = primary_hit.hit
 
-        def bounce(carry, u):
+        def bounce(carry, x):
             p, n, mt, ior, in_dir, live = carry
+            u, ul = x
             u1, u2 = u[:, 0], u[:, 1]
             emis = live & (mt == EMISSIVE)
             live = live & ~emis
+            if nee:
+                # NEE shadow ray at the current vertex: the light point is
+                # pure (uniform, geometry) - record only the visibility
+                # bit (identical numerics to pathtracer.nee_contribution)
+                u3, u4, u5 = ul[:, 0], ul[:, 1], ul[:, 2]
+                li = jnp.clip(
+                    (u3 * n_lights).astype(jnp.int32), 0, n_lights - 1
+                )
+                lr = gather_rows(light_geo, li)
+                x_pt = sample_point_in_triangle(
+                    lr[:, 0:3], lr[:, 3:6], lr[:, 6:9], u4, u5
+                )
+                delta = x_pt - p
+                dist = jnp.sqrt(
+                    jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-8)
+                )
+                ldir = delta / dist[:, None]
+                sh = trace(geom, p, ldir)
+                vis_rec = sh.t >= dist * (1.0 - 1e-3)
+            else:
+                vis_rec = jnp.zeros_like(live)
             # directions only; the throughput factor is replay-side.
             # color/roughness inputs are dummies (zeros): sample_bounce's
             # direction branch never reads them
@@ -236,20 +319,29 @@ def record_paths(
             mt = jnp.where(live, nmt, mt)
             ior = jnp.where(live, nior, ior)
             in_dir = jnp.where(lm, bdir, in_dir)
-            return (p, n, mt, ior, in_dir, live), (tri_rec, sun_rec)
+            return (p, n, mt, ior, in_dir, live), (tri_rec, sun_rec,
+                                                   vis_rec, hit.t)
 
         carry0 = (p, n, mt, ior, ray_d, live)
-        _, (tris, sun_tris) = jax.lax.scan(bounce, carry0, us)
-        return tris, sun_tris
+        _, recs = jax.lax.scan(bounce, carry0, (us, uls))
+        return recs
 
-    tris, sun_tris = jax.lax.scan(
-        lambda _, us: (None, one_sample(us)), None, uniforms
+    if light_uniforms is None:
+        dummy_ul = jnp.zeros((spp, max_bounce + 1, n_rays, 0), jnp.float32)
+    else:
+        dummy_ul = light_uniforms
+    tris, sun_tris, vis, ts = jax.lax.scan(
+        lambda _, xs: (None, one_sample(*xs)), None, (uniforms, dummy_ul)
     )[1]
     return PathRecords(
         u=uniforms,
         tri=tris,
         sun_tri=sun_tris,
         primary_tri=jax.lax.stop_gradient(primary_tri),
+        light_u=light_uniforms if nee else None,
+        light_vis=jax.lax.stop_gradient(vis) if nee else None,
+        t=jax.lax.stop_gradient(ts) if nee else None,
+        primary_t=jax.lax.stop_gradient(primary_hit.t) if nee else None,
     )
 
 
@@ -263,6 +355,9 @@ def replay_radiance(
     sun_enabled: bool,
     ibl_bilinear: bool = True,
     glass_mode: str = "tint",
+    nee: bool = False,
+    lights=None,
+    ray_o: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable radiance ``[N, 3]`` from recorded paths - pure
     shading: gathers + elementwise math, no intersection tests.
@@ -282,8 +377,30 @@ def replay_radiance(
         ``[spp * N]`` IBL lookup (and one gather for sun occluders) runs
         outside the per-sample checkpoint - the IBL-texel gradient then
         costs a single scatter-add instead of spp * bounces of them."""
+    if nee and (lights is None or ray_o is None or records.light_u is None):
+        raise ValueError(
+            "nee replay needs a LightPack, ray_o, and NEE records "
+            "(record_paths(..., nee=True, lights=...))"
+        )
     n_rays = ray_d.shape[0]
     spp = records.u.shape[0]
+    n_lights = 0 if lights is None else lights.v0.shape[0]
+    if nee:
+        # light table: geometry columns detached, the power column derived
+        # from the material table so d/d(emissive power) flows (mirrors
+        # pathtracer.nee_contribution)
+        lpow_tab = materials.roughness[lights.mat]
+        light_tab = jnp.concatenate(
+            [
+                jax.lax.stop_gradient(lights.v0),  # 0:3
+                jax.lax.stop_gradient(lights.v1),  # 3:6
+                jax.lax.stop_gradient(lights.v2),  # 6:9
+                jax.lax.stop_gradient(lights.n),  # 9:12
+                lpow_tab[:, None],  # 12
+                jax.lax.stop_gradient(lights.area)[:, None],  # 13
+            ],
+            axis=1,
+        )  # [L, 14]
     # ONE pre-joined per-face table (the fused kernel's build_tri_attrs
     # trick): native per-lane gathers cost ~340 us each on TPU and the
     # round-1 replay paid four per bounce step - a single one-hot-matmul
@@ -319,17 +436,59 @@ def replay_radiance(
     pn, pmt, pcol, prough, pior = surf_of(records.primary_tri)
 
     def one_sample(xs):
-        us, tris, sun_tris = xs
+        if nee:
+            us, tris, sun_tris, uls, viss, trecs = xs
+        else:
+            us, tris, sun_tris = xs
 
         def bounce(carry, x):
-            (live, thr, rad, in_dir, n, mt, col, rough, ior,
+            (live, thr, rad, in_dir, p, n, mt, col, rough, ior, emit_ok,
              esc_thr, esc_dir, esc_sun, esc_glass) = carry
-            u, tri, sun_tri = x
+            if nee:
+                u, tri, sun_tri, ul, vis, t_rec = x
+            else:
+                u, tri, sun_tri = x
             u1, u2 = u[:, 0], u[:, 1]
 
             emis = live & (mt == EMISSIVE)
-            rad = rad + jnp.where(emis[:, None], thr * rough[:, None], 0.0)
+            rad = rad + jnp.where(
+                (emis & emit_ok)[:, None], thr * rough[:, None], 0.0
+            )
             live = live & ~emis
+
+            if nee:
+                # direct light at this vertex: geometry from the records'
+                # reconstructed position, visibility from the recorded
+                # shadow bit - numerics mirror pathtracer.nee_contribution
+                u3, u4, u5 = ul[:, 0], ul[:, 1], ul[:, 2]
+                li = jnp.clip(
+                    (u3 * n_lights).astype(jnp.int32), 0, n_lights - 1
+                )
+                lr = gather_rows(light_tab, li)
+                x_pt = sample_point_in_triangle(
+                    lr[:, 0:3], lr[:, 3:6], lr[:, 6:9], u4, u5
+                )
+                ln, lpow, larea = lr[:, 9:12], lr[:, 12], lr[:, 13]
+                delta = jax.lax.stop_gradient(x_pt - p)
+                dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-8)
+                dist = jnp.sqrt(dist2)
+                ldir = delta / dist[:, None]
+                cos_s = jnp.sum(ldir * n, axis=-1)
+                cos_l = jnp.abs(jnp.sum(ldir * ln, axis=-1))
+                is_glossy = mt == GLOSSY
+                brdf = jnp.where(
+                    is_glossy[:, None],
+                    eval_ggx(col, rough, -in_dir, ldir, n),
+                    eval_lambert(col),
+                )
+                weight = (n_lights * larea) * cos_l / dist2
+                sampled = live & (mt != EMISSIVE) & (mt != GLASS)
+                ok = sampled & vis & (cos_s > 0.0) & (cos_l > 1e-6)
+                contrib = thr * brdf * (
+                    jnp.maximum(cos_s, 0.0) * weight * lpow
+                )[:, None]
+                rad = rad + jnp.where(ok[:, None], contrib, 0.0)
+                emit_ok = jnp.where(live, ~sampled, emit_ok)
 
             bdir, factor = sample_bounce(mt, col, rough, in_dir, n, u1, u2,
                                          ior=ior, glass_mode=glass_mode)
@@ -348,25 +507,35 @@ def replay_radiance(
 
             nn, nmt, ncol, nrough, nior = surf_of(tri)
             lm = live[:, None]
+            if nee:
+                p = jnp.where(lm, p + bdir * t_rec[:, None], p)
             n = jnp.where(lm, nn, n)
             mt = jnp.where(live, nmt, mt)
             col = jnp.where(lm, ncol, col)
             rough = jnp.where(live, nrough, rough)
             ior = jnp.where(live, nior, ior)
             in_dir = jnp.where(lm, bdir, in_dir)
-            return (live, thr, rad, in_dir, n, mt, col, rough, ior,
-                    esc_thr, esc_dir, esc_sun, esc_glass), None
+            return (live, thr, rad, in_dir, p, n, mt, col, rough, ior,
+                    emit_ok, esc_thr, esc_dir, esc_sun, esc_glass), None
 
+        if nee:
+            p0 = ray_o + ray_d * jnp.where(
+                primary_live, records.primary_t, 0.0
+            )[:, None]
+        else:
+            p0 = jnp.zeros_like(ray_d)  # positions unused without NEE
         carry0 = (
             primary_live,
             jnp.ones_like(ray_d),
             primary_miss_rad,
             ray_d,
+            p0,
             pn,
             pmt,
             pcol,
             prough,
             pior,
+            jnp.ones_like(primary_live),  # emit_ok
             jnp.zeros_like(ray_d),  # esc_thr (0 => contributes nothing)
             jnp.zeros_like(ray_d).at[:, 2].set(1.0),  # esc_dir (+z, NaN-free)
             jnp.full((n_rays,), -1, jnp.int32),  # esc_sun
@@ -378,10 +547,13 @@ def replay_radiance(
         # residuals are plain SSA values and XLA fuses across bounces
         state = carry0
         for j in range(us.shape[0]):
-            state, _ = bounce(state, (us[j], tris[j], sun_tris[j]))
-        (live, thr, rad, _, n, mt, col, rough, _,
+            step_x = (us[j], tris[j], sun_tris[j])
+            if nee:
+                step_x = step_x + (uls[j], viss[j], trecs[j])
+            state, _ = bounce(state, step_x)
+        (live, thr, rad, _, _, n, mt, col, rough, _, emit_ok,
          esc_thr, esc_dir, esc_sun, esc_glass) = state
-        final_emis = live & (mt == EMISSIVE)
+        final_emis = live & (mt == EMISSIVE) & emit_ok
         rad = rad + jnp.where(final_emis[:, None], thr * rough[:, None], 0.0)
         return rad, esc_thr, esc_dir, esc_sun, esc_glass
 
@@ -393,10 +565,13 @@ def replay_radiance(
         rad, esc_thr, esc_dir, esc_sun, esc_glass = one_sample(xs)
         return acc + rad, (esc_thr, esc_dir, esc_sun, esc_glass)
 
+    scan_xs = (records.u, records.tri, records.sun_tri)
+    if nee:
+        scan_xs = scan_xs + (records.light_u, records.light_vis, records.t)
     acc, (esc_thr, esc_dir, esc_sun, esc_glass) = jax.lax.scan(
         spp_step,
         jnp.zeros_like(ray_d),
-        (records.u, records.tri, records.sun_tri),
+        scan_xs,
     )
 
     # one batched environment pass for every sample's escape
@@ -444,11 +619,15 @@ def radiance_for_rays_replay(
     glass_mode: str = "tint",
     fused: Optional[bool] = None,
     spp_chunk: Optional[int] = None,
+    nee: bool = False,
+    lights=None,
+    light_uniforms: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Drop-in differentiable replacement for
-    ``radiance_for_rays(..., fused=False, nee=False)``: same estimator
+    ``radiance_for_rays(..., fused=False)``: same estimator
     (and, with ``fused=False``, the same random stream), but
-    ``jax.grad`` never re-traces.
+    ``jax.grad`` never re-traces.  ``nee=True`` (with ``lights``)
+    records shadow-ray visibility and replays the NEE estimator.
 
     ``spp_chunk`` bounds the live record memory: samples are recorded
     and replayed ``spp_chunk`` at a time under ``jax.checkpoint``, so
@@ -463,27 +642,31 @@ def radiance_for_rays_replay(
         if uniforms is not None:
             spp_chunk = spp  # explicit stream: keep the caller's layout
         else:
-            per_sample = n_rays * (max_bounce + 1) * 16
+            # NEE records add light uniforms + visibility + distances
+            per_sample = n_rays * (max_bounce + 1) * (36 if nee else 16)
             spp_chunk = _chunk_divisor(spp, max(1, (256 << 20) // per_sample))
     else:
         spp_chunk = _chunk_divisor(spp, spp_chunk)
 
-    def run(k, u, n_spp):
+    def run(k, u, lu, n_spp):
         records = record_paths(
             geom, materials, env, ray_o, ray_d, k,
             spp=n_spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
             uniforms=u, glass_mode=glass_mode, fused=fused,
+            nee=nee, lights=lights, light_uniforms=lu,
         )
         return replay_radiance(
             records, geom, materials, env, ray_d,
             sun_enabled=sun_enabled, ibl_bilinear=ibl_bilinear,
-            glass_mode=glass_mode,
+            glass_mode=glass_mode, nee=nee, lights=lights, ray_o=ray_o,
         )
 
     if spp_chunk >= spp:
-        return run(key, uniforms, spp)
+        return run(key, uniforms, light_uniforms, spp)
 
-    chunk_fn = jax.checkpoint(lambda k: run(k, None, spp_chunk) * spp_chunk)
+    chunk_fn = jax.checkpoint(
+        lambda k: run(k, None, None, spp_chunk) * spp_chunk
+    )
     keys = jax.random.split(key, spp // spp_chunk)
     acc, _ = jax.lax.scan(
         lambda a, k: (a + chunk_fn(k), None),
@@ -510,6 +693,9 @@ def render_radiance_replay(
     glass_mode: str = "tint",
     fused: Optional[bool] = None,
     spp_chunk: Optional[int] = None,
+    nee: bool = False,
+    lights=None,
+    light_uniforms: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable radiance image ``[H, W, 3]`` via path replay."""
     ray_o, ray_d = camera_rays(
@@ -520,5 +706,6 @@ def render_radiance_replay(
         spp=spp, max_bounce=max_bounce, sun_enabled=sun_enabled,
         ibl_bilinear=ibl_bilinear, uniforms=uniforms, glass_mode=glass_mode,
         fused=fused, spp_chunk=spp_chunk,
+        nee=nee, lights=lights, light_uniforms=light_uniforms,
     )
     return rad.reshape(height, width, 3)

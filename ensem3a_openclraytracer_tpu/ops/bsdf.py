@@ -63,9 +63,15 @@ def eval_ggx(color, roughness, v, l, n):
     p2 = one_m_hv * one_m_hv
     f = f0 + (1.0 - f0) * (p2 * p2 * one_m_hv)
     # algebraically (f * g1 * g2 * d) / max(4 nv nl, 1e-3) with g_i's
-    # numerators moved up - one division instead of four
-    specular = (f * alpha_sqr * ndotv * ndotl) / (
-        d_den * g1_den * g2_den * jnp.maximum(4.0 * ndotv * ndotl, 1e-3)
+    # numerators moved up - one division instead of four.  The product
+    # denominator is clamped: on degenerate lanes (grazing view + alpha
+    # ~0) every factor bottoms out and the product underflows f32, giving
+    # 0/0 = NaN - harmless when masked in the primal, but NaN * 0 = NaN
+    # poisons gradients through the masking `where` (NEE evaluates this
+    # at every path vertex, so such lanes always exist)
+    specular = (f * alpha_sqr * ndotv * ndotl) / jnp.maximum(
+        d_den * g1_den * g2_den * jnp.maximum(4.0 * ndotv * ndotl, 1e-3),
+        1e-12,
     )
     kd = (1.0 - f) * 0.5
     diffuse = kd[..., None] * color / PI

@@ -46,8 +46,12 @@ class LightPack(NamedTuple):
     v1: jnp.ndarray  # [L, 3]
     v2: jnp.ndarray  # [L, 3]
     n: jnp.ndarray  # [L, 3] unit geometric normal
-    power: jnp.ndarray  # [L] emissive power (the material roughness slot)
+    power: jnp.ndarray  # [L] emissive power snapshot (the material
+    #                   roughness slot) - the fused kernel's constant copy
     area: jnp.ndarray  # [L]
+    mat: jnp.ndarray  # [L] int32 material index: differentiable paths
+    #                   re-derive power as materials.roughness[mat] so
+    #                   d(NEE radiance)/d(emissive power) flows
 
 
 def build_light_pack(
@@ -89,6 +93,7 @@ def build_light_pack(
         n=jnp.asarray(nrm),
         power=jnp.asarray(power[mat_ids[idx]]),
         area=jnp.asarray(area.astype(np.float32)),
+        mat=jnp.asarray(mat_ids[idx], jnp.int32),
     )
 
 

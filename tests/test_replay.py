@@ -204,3 +204,69 @@ def test_fused_recorder_matches_scan_recorder():
                     f"{name} sample {s} {what} records diverge on "
                     f"{frac:.2%} of lanes"
                 )
+
+
+def test_replay_nee_primal_matches_scan():
+    """NEE replay is the NEE scan estimator: same key => the recorder's
+    threefry stream (fold 0 for bounces, fold 1 for lights) is the scan
+    path's, so the primal matches to float32 accuracy."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+    geom = cornell_geometry()
+    m, e, c = cornell_materials(), cornell_env(), cornell_camera()
+    lights = build_light_pack(geom, m)
+    key = jax.random.PRNGKey(5)
+    img_scan = render_radiance(
+        geom, m, e, c, key, height=RES, width=RES, spp=SPP, max_bounce=MB,
+        sun_enabled=False, lights=lights, nee=True, fused=False,
+    )
+    img_rep = render_radiance_replay(
+        geom, m, e, c, key, height=RES, width=RES, spp=SPP, max_bounce=MB,
+        sun_enabled=False, lights=lights, nee=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_rep), np.asarray(img_scan), rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_replay_nee_gradients_match_scan():
+    """NEE gradients agree between replay and straight AD through the
+    scan estimator - including d/d(emissive power), which flows through
+    the NEE light-power column (materials.roughness[lights.mat])."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+    geom = cornell_geometry()
+    m, e, c = cornell_materials(), cornell_env(), cornell_camera()
+    lights = build_light_pack(geom, m)
+    key = jax.random.PRNGKey(9)
+
+    def loss(render_fn, color, rough):
+        m2 = m._replace(color=color, roughness=rough)
+        img = render_fn(
+            geom, m2, e, c, key, height=RES, width=RES, spp=SPP,
+            max_bounce=MB, sun_enabled=False, lights=lights, nee=True,
+        )
+        return jnp.mean(img ** 2)
+
+    g_scan = jax.grad(
+        lambda *a: loss(
+            lambda *r, **k: render_radiance(*r, fused=False, **k), *a
+        ),
+        argnums=(0, 1),
+    )(m.color, m.roughness)
+    g_rep = jax.grad(
+        lambda *a: loss(render_radiance_replay, *a), argnums=(0, 1),
+    )(m.color, m.roughness)
+    for gs, gr, name in zip(g_scan, g_rep, ["color", "roughness"]):
+        gs, gr = np.asarray(gs), np.asarray(gr)
+        scale = max(np.abs(gs).max(), 1e-6)
+        np.testing.assert_allclose(gr / scale, gs / scale, atol=1e-5, err_msg=name)
+        assert np.abs(gs).max() > 0.0, f"{name} grad unexpectedly zero"
+    # emissive power (the roughness slot of the type-0 material) must
+    # receive gradient even though NEE suppresses BSDF-path emission
+    mtypes = np.asarray(m.mtype)
+    emissive_rows = np.nonzero(mtypes == 0)[0]
+    g_rough_rep = np.asarray(g_rep[1])
+    assert np.abs(g_rough_rep[emissive_rows]).max() > 0.0, (
+        "emissive-power gradient lost through the NEE path"
+    )
