@@ -71,13 +71,15 @@ def cmd_render(args) -> int:
     env = sc.env_params()
     sun_enabled = float(env.sun_power) != 0.0
     lights = None
-    nee = bool(getattr(args, "nee", False))
+    mis = bool(getattr(args, "mis", False))
+    nee = bool(getattr(args, "nee", False)) or mis
     glass_mode = getattr(args, "glass", "tint")
     if nee:
         lights = sc.light_pack()
         if lights is None:
-            print("warning: --nee requested but scene has no emissive faces; disabled")
-            nee = False
+            print("warning: --nee/--mis requested but scene has no emissive "
+                  "faces; disabled")
+            nee = mis = False
 
     mesh = _parse_mesh(args.mesh)
     t0 = time.time()
@@ -94,7 +96,7 @@ def cmd_render(args) -> int:
                 jax.random.PRNGKey(args.seed),
                 height=res, width=res, spp=spp, max_bounce=max_bounce,
                 sun_enabled=sun_enabled,
-                lights=lights, nee=nee, glass_mode=glass_mode,
+                lights=lights, nee=nee, glass_mode=glass_mode, mis=mis,
             )
             img = jax.block_until_ready(jnp_clip_img(rad))
     else:
@@ -108,6 +110,7 @@ def cmd_render(args) -> int:
             lights=lights,
             nee=nee,
             glass_mode=glass_mode,
+            mis=mis,
         )
         ckpt = args.checkpoint
         with timer.stage("setup"):
@@ -388,6 +391,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output transform (reference default: clamp)")
     r.add_argument("--nee", action="store_true",
                    help="next-event estimation (lower variance; needs emissive faces)")
+    r.add_argument("--mis", action="store_true",
+                   help="balance-heuristic BSDF+NEE combination (implies --nee)")
     r.add_argument("--glass", default="tint", choices=["tint", "refract"],
                    help="glass model: reference straight-through tint, or "
                         "physically-based refraction using the material ior")

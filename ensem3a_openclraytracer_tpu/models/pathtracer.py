@@ -49,6 +49,7 @@ from ensem3a_openclraytracer_tpu.ops.bsdf import (
     eval_lambert,
     sample_bounce,
 )
+from ensem3a_openclraytracer_tpu.ops.sampling import PI
 from ensem3a_openclraytracer_tpu.ops.geometry import (
     normalize as _normalize,
     sample_point_in_triangle,
@@ -182,6 +183,7 @@ def radiance_for_rays(
     fused: Optional[bool] = None,
     glass_mode: str = "tint",
     light_uniforms: Optional[jnp.ndarray] = None,
+    mis: bool = False,
 ) -> jnp.ndarray:
     """Estimate radiance ``[N, 3]`` for an arbitrary primary-ray batch
     (unclamped mean over ``spp`` samples).  This is the shardable core:
@@ -202,7 +204,18 @@ def radiance_for_rays(
     light was already sampled - an unbiased, far lower-variance estimator
     than the reference's pure BSDF sampling (its ``sampleLight`` is dead
     code, MathLib.cl:419-454).  NEE perturbs the random stream, so it is
-    mutually exclusive with ``uniforms``."""
+    mutually exclusive with ``uniforms``.
+
+    ``mis=True`` (requires ``nee``) combines the two strategies with the
+    balance heuristic instead of NEE's binary emission suppression: the
+    NEE contribution is weighted by ``p_nee / (p_nee + p_bsdf)`` and
+    BSDF-path emission by ``p_bsdf / (p_bsdf + p_nee)`` (both pdfs in
+    solid-angle measure; delta lobes - glass - keep weight 1, matching
+    the glass-chain accounting the per-bounce NEE flag fixed).  Unbiased
+    for any light size; lower-variance than either strategy alone when
+    lights are small AND lobes are wide or vice versa."""
+    if mis and not nee:
+        raise ValueError("mis=True requires nee=True (and lights)")
     if nee and lights is None:
         raise ValueError("nee=True requires a LightPack")
     if nee and uniforms is not None and light_uniforms is None:
@@ -242,6 +255,7 @@ def radiance_for_rays(
             and geom.feats.block_bounds.shape[0] <= _RESIDENT_MAX_BLOCKS
             and uniforms is None
             and glass_mode == "tint"
+            and not mis
             and (
                 not nee
                 or (lights is not None
@@ -249,6 +263,8 @@ def radiance_for_rays(
             )
         )
     if fused:
+        if mis:
+            raise ValueError("mis runs on the scan estimator (fused=False)")
         if geom.feats is None:
             raise ValueError("fused=True requires the MXU geometry path (feats)")
         if uniforms is not None or glass_mode != "tint":
@@ -312,6 +328,16 @@ def radiance_for_rays(
         return acc / spp + primary_miss_rad
 
     n_lights = 0 if lights is None else lights.v0.shape[0]
+    if mis:
+        # per-face areas for the NEE pdf of a BSDF-sampled hit (every
+        # emissive face is in the light list, so no identity lookup is
+        # needed - just its area and normal)
+        face_area = jax.lax.stop_gradient(
+            0.5
+            * jnp.linalg.norm(
+                jnp.cross(geom.v1 - geom.v0, geom.v2 - geom.v0), axis=-1
+            )
+        )
 
     def nee_contribution(live, thr, in_dir, surf, ul):
         """One shadow ray toward an area-sampled light point; returns the
@@ -356,32 +382,47 @@ def radiance_for_rays(
         sampled = live & (surf.mtype != EMISSIVE) & (surf.mtype != GLASS)
         ok = sampled & visible & (cos_s > 0.0) & (cos_l > 1e-6)
         contrib = thr * brdf * (jnp.maximum(cos_s, 0.0) * weight * lpow)[:, None]
+        if mis:
+            # balance heuristic vs the BSDF strategy's pdf for ldir:
+            # cosine-weighted for diffuse, uniform hemisphere for glossy
+            # (the reference's lobe samplers, MathLib.cl:313-366).
+            # weight == 1 / p_nee_solid, so w = 1 / (1 + p_bsdf * weight)
+            p_b = jnp.where(
+                is_glossy, 1.0 / (2.0 * PI), jnp.maximum(cos_s, 0.0) / PI
+            )
+            contrib = contrib / (1.0 + p_b * weight)[:, None]
         return jnp.where(ok[:, None], contrib, 0.0), sampled
 
     def bounce_step(carry, xs):
-        live, thr, rad, in_dir, surf, emit_ok = carry
+        live, thr, rad, in_dir, surf, emis_w = carry
         j, u, ul = xs
         u1, u2 = u[:, 0], u[:, 1]
 
         # terminal event: sitting on an emissive surface (power lives in
         # the roughness slot, Raytracing.cl:107/:142); with NEE active the
-        # emission was already estimated at the previous vertex
+        # emission was already estimated at the previous vertex, so
+        # emis_w is 0 there (or the MIS balance weight with mis=True)
         emis = live & (surf.mtype == EMISSIVE)
         rad = rad + jnp.where(
-            (emis & emit_ok)[:, None], thr * surf.rough[:, None], 0.0
+            emis[:, None], thr * (surf.rough * emis_w)[:, None], 0.0
         )
         live = live & ~emis
 
         if nee:
             direct, sampled = nee_contribution(live, thr, in_dir, surf, ul)
             rad = rad + direct
-            # Emission at the NEXT vertex is suppressed only when THIS
-            # vertex NEE-sampled the light; the flag resets every bounce.
-            # Glass vertices never NEE-sample (delta lobe) and their
-            # shadow rays treat glass as an occluder, so BSDF emission
-            # through a diffuse->glass->light chain must stay enabled -
-            # a sticky flag loses that light entirely (round-1 bias).
-            emit_ok = jnp.where(live, ~sampled, emit_ok)
+            if not mis:
+                # Emission at the NEXT vertex is suppressed only when THIS
+                # vertex NEE-sampled the light; the flag resets every
+                # bounce.  Glass vertices never NEE-sample (delta lobe)
+                # and their shadow rays treat glass as an occluder, so
+                # BSDF emission through a diffuse->glass->light chain must
+                # stay enabled - a sticky flag loses that light entirely
+                # (round-1 bias).  (With mis=True the balance weight below
+                # replaces this binary gate.)
+                emis_w = jnp.where(
+                    live, 1.0 - sampled.astype(emis_w.dtype), emis_w
+                )
 
         # sample the bounce and update throughput (Raytracing.cl:58-87)
         bdir, factor = sample_bounce(
@@ -420,6 +461,27 @@ def radiance_for_rays(
 
         # advance the path for lanes that hit something solid
         new_surf = _gather_surface(geom, materials, surf.p, bdir, bounce_hit)
+        if mis:
+            # balance weight for BSDF-path emission at the NEXT vertex:
+            # p_bsdf of the sampled bdir vs the pdf NEE would have had
+            # for the triangle the bounce ray actually hit (solid-angle
+            # measure; valid only when that triangle is emissive, which
+            # is exactly when emis_w is consumed).  Vertices that did not
+            # NEE-sample (glass / dead) keep weight 1.
+            p_b = jnp.where(
+                surf.mtype == GLOSSY,
+                1.0 / (2.0 * PI),
+                jnp.maximum(jnp.sum(bdir * surf.n, axis=-1), 0.0) / PI,
+            )
+            area_hit = gather_rows(face_area[:, None], bounce_hit.tri)[:, 0]
+            cos_l = jnp.abs(jnp.sum(bdir * new_surf.n, axis=-1))
+            p_nee_hit = (bounce_hit.t * bounce_hit.t) / (
+                n_lights * area_hit * jnp.maximum(cos_l, 1e-6)
+            )
+            w_b = p_b / (p_b + p_nee_hit)
+            emis_w = jnp.where(
+                live, jnp.where(sampled, w_b, 1.0), emis_w
+            )
         lm = live[:, None]
         surf = _Surface(
             p=jnp.where(lm, new_surf.p, surf.p),
@@ -430,7 +492,7 @@ def radiance_for_rays(
             ior=jnp.where(live, new_surf.ior, surf.ior),
         )
         in_dir = jnp.where(lm, bdir, in_dir)
-        return (live, thr, rad, in_dir, surf, emit_ok), None
+        return (live, thr, rad, in_dir, surf, emis_w), None
 
     # Threefry everywhere: the TPU hardware-PRNG kernel (ops/rng.py) is
     # ~2x cheaper in isolation but a per-sample pallas_call serializes
@@ -462,15 +524,17 @@ def radiance_for_rays(
             primary_miss_rad,
             ray_d,
             primary_surf,
-            jnp.ones_like(primary_hit.hit),  # emit_ok
+            jnp.ones_like(primary_hit.t),  # emis_w
         )
         xs = (np.arange(max_bounce + 1), us, uls)
-        (live, thr, rad, _, surf, emit_ok), _ = jax.lax.scan(bounce_step, carry0, xs)
+        (live, thr, rad, _, surf, emis_w), _ = jax.lax.scan(bounce_step, carry0, xs)
         # final terminal check: a path whose last bounce landed on a light
         # still contributes; anything else live contributes 0
         # (the reference's max-bounce nullification, Raytracing.cl:99-109)
-        final_emis = live & (surf.mtype == EMISSIVE) & emit_ok
-        rad = rad + jnp.where(final_emis[:, None], thr * surf.rough[:, None], 0.0)
+        final_emis = live & (surf.mtype == EMISSIVE)
+        rad = rad + jnp.where(
+            final_emis[:, None], thr * (surf.rough * emis_w)[:, None], 0.0
+        )
         return rad
 
     one_sample = jax.checkpoint(one_sample, static_argnums=())
@@ -516,6 +580,7 @@ def render_radiance(
     fused: Optional[bool] = None,
     glass_mode: str = "tint",
     light_uniforms: Optional[jnp.ndarray] = None,
+    mis: bool = False,
 ) -> jnp.ndarray:
     """Estimate the radiance image ``[height, width, 3]`` (unclamped mean
     over ``spp`` samples) for a pinhole camera view."""
@@ -539,6 +604,7 @@ def render_radiance(
         fused=fused,
         glass_mode=glass_mode,
         light_uniforms=light_uniforms,
+        mis=mis,
     )
     return rad.reshape(height, width, 3)
 
@@ -561,6 +627,7 @@ render_radiance_jit = jax.jit(
         "nee",
         "fused",
         "glass_mode",
+        "mis",
     ),
 )
 
@@ -576,6 +643,8 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
     spp = int(overrides.get("spp", rs.spp))
     max_bounce = int(overrides.get("max_bounce", rs.max_bounce))
     nee = bool(overrides.get("nee", False))
+    mis = bool(overrides.get("mis", False))
+    nee = nee or mis
     glass_mode = str(overrides.get("glass_mode", "tint"))
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -599,6 +668,7 @@ def render_scene(scene, key=None, overrides: Optional[dict] = None) -> jnp.ndarr
         sun_enabled=sun_enabled,
         lights=lights,
         nee=nee,
+        mis=mis and nee,
         glass_mode=glass_mode,
     )
     return jnp.clip(radiance, 0.0, 1.0)

@@ -87,6 +87,7 @@ class ProgressiveRenderer:
         lights=None,
         nee: bool = False,
         glass_mode: str = "tint",
+        mis: bool = False,
     ):
         self.geom = geom
         self.materials = materials
@@ -113,6 +114,7 @@ class ProgressiveRenderer:
                 lights=lights,
                 nee=nee,
                 glass_mode=glass_mode,
+                mis=mis,
             ),
             static_argnames=(),
         )

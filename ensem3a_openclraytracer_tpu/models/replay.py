@@ -631,10 +631,13 @@ def radiance_for_rays_replay(
 
     ``spp_chunk`` bounds the live record memory: samples are recorded
     and replayed ``spp_chunk`` at a time under ``jax.checkpoint``, so
-    the backward pass re-records each chunk (cheap - the fused
-    recorder) instead of holding every sample's ~16 bytes/ray/bounce
-    record across the whole pass.  Default: auto-chunks so one chunk's
-    records stay under ~256 MB; ``spp_chunk=spp`` disables (the exact
+    the backward pass re-records each chunk instead of holding every
+    sample's ~16 bytes/ray/bounce record across the whole pass.  That
+    re-record costs real throughput (measured 123 vs 184 Mrays/s fwd+bwd
+    at the bench workload), so the default only chunks when the records
+    would actually pressure HBM: one chunk's records may take ~3 GB
+    (a 512^2/100spp/5-bounce render is ~2.1 GB - unchunked; 1024^2 at
+    100 spp splits in two).  ``spp_chunk=spp`` disables (the exact
     legacy stream, which the replay-equals-scan tests pin via
     ``uniforms``/``fused=False``)."""
     n_rays = ray_o.shape[0]
@@ -644,7 +647,7 @@ def radiance_for_rays_replay(
         else:
             # NEE records add light uniforms + visibility + distances
             per_sample = n_rays * (max_bounce + 1) * (36 if nee else 16)
-            spp_chunk = _chunk_divisor(spp, max(1, (256 << 20) // per_sample))
+            spp_chunk = _chunk_divisor(spp, max(1, (3 << 30) // per_sample))
     else:
         spp_chunk = _chunk_divisor(spp, spp_chunk)
 

@@ -40,6 +40,7 @@ def _shard_radiance(
     lights=None,
     nee: bool = False,
     glass_mode: str = "tint",
+    mis: bool = False,
 ):
     """Per-shard body: render my row block with my sample subset, then
     average sample sets across the sp axis."""
@@ -65,6 +66,7 @@ def _shard_radiance(
         lights=lights,
         nee=nee,
         glass_mode=glass_mode,
+        mis=mis,
     )
     return jax.lax.pmean(rad, SP_AXIS)
 
@@ -87,6 +89,7 @@ def render_radiance_sharded(
     lights=None,
     nee: bool = False,
     glass_mode: str = "tint",
+    mis: bool = False,
 ) -> jnp.ndarray:
     """Radiance image ``[height, width, 3]`` rendered over ``mesh``.
 
@@ -123,6 +126,7 @@ def render_radiance_sharded(
         fused=fused,
         nee=nee,
         glass_mode=glass_mode,
+        mis=mis,
     )
 
     def shard_body(geom, materials, env, lights, ro, rd, key):
