@@ -175,13 +175,18 @@ def make_glass_light_scene(use_bvh: bool = False):
     return geom, mats, env, cam
 
 
-def make_outdoor_scene(n_cubes: int = 64, seed: int = 7, use_bvh: bool = True):
+def make_outdoor_scene(n_cubes: int = 64, seed: int = 7, use_bvh: bool = True,
+                       emissive_panel: bool = False):
     """An open scene exercising sun + IBL paths: a ground plane and a grid
     of jittered cubes under the procedural sky.  ``12 * n_cubes + 2``
-    triangles - sized to stress BVH traversal."""
+    triangles - sized to stress BVH traversal.  ``emissive_panel`` adds
+    a light panel over the cubes so the scene has a LightPack (NEE/MIS
+    tests on multi-block geometry)."""
     rng = np.random.default_rng(seed)
     tris = []
     tris += _quad((-40, -40, 0), (40, -40, 0), (40, 40, 0), (-40, 40, 0), M_WHITE)
+    if emissive_panel:
+        tris += _quad((-3, 8, 6), (3, 8, 6), (3, 14, 6), (-3, 14, 6), M_LIGHT)
     side = int(np.ceil(np.sqrt(n_cubes)))
     for i in range(n_cubes):
         gx, gy = i % side, i // side

@@ -1,18 +1,32 @@
 """Test harness: force JAX onto CPU with 8 virtual devices so sharding
-tests run without TPU hardware (SURVEY.md section 4 test-strategy gap)."""
+tests run without TPU hardware (SURVEY.md section 4 test-strategy gap).
+
+``ENSEM3A_TPU_TESTS=1`` keeps the real TPU backend instead, so the
+``tpu_only`` tests in tests/test_tpu_gated.py / tests/test_rng.py run
+against the actual Mosaic lowering:
+
+    ENSEM3A_TPU_TESTS=1 python -m pytest tests/test_tpu_gated.py -q
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_USE_TPU = os.environ.get("ENSEM3A_TPU_TESTS") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The environment's TPU plugin force-sets jax_platforms at registration,
-# overriding the env var - override it back after import.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    # The environment's TPU plugin force-sets jax_platforms at
+    # registration, overriding the env var - override it back after
+    # import.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

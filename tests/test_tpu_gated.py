@@ -218,3 +218,43 @@ def test_large_scene_renders_end_to_end():
     arr = np.asarray(img)
     assert np.isfinite(arr).all()
     assert arr.mean() > 0.01  # lit scene, not black
+
+
+@tpu_only
+def test_fused_nee_multiblock_matches_scan_on_hardware():
+    """In-kernel NEE on a MULTI-BLOCK scene: the rolled lax.fori_loop
+    bounce path (different Mosaic lowering than the unrolled single-block
+    kernel) with light sampling, shadow traces, and per-bounce emission
+    suppression.  Gates multi-block NEE auto-fusing in the dispatcher
+    (pathtracer.radiance_for_rays)."""
+    from ensem3a_openclraytracer_tpu.models.pathtracer import radiance_for_rays
+    from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+    from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene
+
+    geom, materials, env, camera = make_outdoor_scene(
+        n_cubes=64, use_bvh=False, emissive_panel=True
+    )
+    assert geom.feats.block_bounds.shape[0] > 1, "scene must be multi-block"
+    lights = build_light_pack(geom, materials)
+    assert lights is not None
+    res, mb = 64, 3
+    ray_o, ray_d = camera_rays(
+        camera.position, camera.rotation_deg, camera.fov_deg, res, res
+    )
+    us = jax.random.uniform(jax.random.PRNGKey(7), (1, mb + 1, ray_o.shape[0], 2))
+    uls = jax.random.uniform(jax.random.PRNGKey(8), (1, mb + 1, ray_o.shape[0], 3))
+    scan = radiance_for_rays(
+        geom, materials, env, ray_o, ray_d, jax.random.PRNGKey(0),
+        spp=1, max_bounce=mb, sun_enabled=True, uniforms=us,
+        light_uniforms=uls, lights=lights, nee=True, fused=False,
+    )
+    fused = _fused_one_sample(
+        geom, materials, env, ray_o, ray_d,
+        jnp.concatenate([us[0], uls[0]], axis=-1),
+        max_bounce=mb, sun_enabled=True, nee=True, lights=lights,
+    )
+    diff = np.abs(np.asarray(scan) - np.asarray(fused)).max(axis=-1)
+    # split-bf16 vs HIGHEST-precision tracing can fork a few edge paths
+    assert np.quantile(diff, 0.98) < 1e-2
+    assert np.isfinite(np.asarray(fused)).all()
