@@ -58,7 +58,7 @@ from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
 from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
-from ensem3a_openclraytracer_tpu.ops.compact import trace_compact
+from ensem3a_openclraytracer_tpu.ops.pairs import trace_pairs
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import trace_mxu, trace_mxu_pallas
 from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
@@ -80,42 +80,40 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
-# sorting pays only when there are enough blocks to cull; tiny scenes
-# are a single dense block where ray order is irrelevant
-_SORT_MIN_BLOCKS = 4
-
-
-# features above this block count exceed the resident kernel's VMEM
-# budget (~240 B/tri); the HBM-streamed compact engine takes over
-_RESIDENT_MAX_BLOCKS = 256
+# the fused whole-bounce-loop kernel (in-kernel tile-union culling)
+# stays the forward engine only up to this block count; beyond it the
+# scan estimator + per-ray pair-queue trace engine win (tile-union
+# culling visits ~3.4x the blocks per ray on incoherent bounce rays)
+_FUSED_MAX_BLOCKS = 16
 
 
 def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
     """Closest-hit dispatch: the MXU matmul engines when the pack
-    carries triangle features (VMEM-resident kernel to ~64k tris, the
-    HBM-streamed per-ray pair-compaction engine beyond - ops/compact.py),
-    LBVH traversal when it carries only a tree, tiled Moller-Trumbore
-    otherwise.  Visibility is non-differentiable by design; inputs are
-    detached so no AD path enters the trace.
-
-    Multi-block scenes on the resident kernel sort the batch by
-    (direction octant, origin Morton) around the call: coherent tiles
-    let the per-tile block culling and front-to-back early exit skip
-    part of the scene, and the results scatter back to caller order.
-    The compact engine culls per RAY, so it needs no sort."""
+    carries triangle features (single-block scenes on the VMEM-resident
+    kernel; multi-block scenes on the one-shot per-ray pair-queue
+    engine, ops/pairs.py, at any scene size), LBVH traversal when it
+    carries only a tree, tiled Moller-Trumbore otherwise.  Visibility
+    is non-differentiable by design; inputs are detached so no AD path
+    enters the trace.  The pair-queue engine culls per RAY, so no
+    coherence sort is needed around it."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
     if geom.feats is not None and (_on_tpu() or geom.bvh is None):
         feats = geom.feats
         n_blocks = feats.block_bounds.shape[0]
         if _on_tpu():
-            if n_blocks > _RESIDENT_MAX_BLOCKS:
-                return trace_compact(feats, ray_o, ray_d)
-            if n_blocks >= _SORT_MIN_BLOCKS:
+            if n_blocks > 1 and feats.comb is not None and \
+                    feats.comb.dtype == jnp.bfloat16:
+                # pair engine needs coherent tiles: sort by (direction
+                # octant, origin Morton), trace, scatter back
                 order = fused_ops.coherent_order(ray_o, ray_d)
-                h = trace_mxu_pallas(feats, ray_o[order], ray_d[order])
+                h = trace_pairs(feats, ray_o[order], ray_d[order])
                 unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
                 return Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))
+            if n_blocks > 1:
+                # beyond the VMEM-resident comb cap (streamed tile-loop
+                # variant pending): exact dense sweep
+                return trace_mxu(feats, ray_o, ray_d, tri_tile=256)
             return trace_mxu_pallas(feats, ray_o, ray_d)
         return trace_mxu(geom.feats, ray_o, ray_d)
     if geom.bvh is not None:
@@ -249,10 +247,9 @@ def radiance_for_rays(
         fused = (
             _on_tpu()
             and geom.feats is not None
-            # the whole-bounce-loop kernel holds every block's operands
-            # in VMEM; beyond the resident cap the scan estimator +
-            # compact trace engine take over
-            and geom.feats.block_bounds.shape[0] <= _RESIDENT_MAX_BLOCKS
+            # beyond a few blocks the fused kernel's tile-union culling
+            # loses to the scan estimator + per-ray pair-queue engine
+            and geom.feats.block_bounds.shape[0] <= _FUSED_MAX_BLOCKS
             and uniforms is None
             and glass_mode == "tint"
             and not mis

@@ -83,6 +83,16 @@ class TriFeatures(NamedTuple):
     normal_d: jnp.ndarray  # [3, Tp] float32 (n, for the denominator matmul)
     block_bounds: jnp.ndarray  # [B, 8] AABB per TRI_TILE block (+2 pad cols)
     num_tris: int
+    # [B, 39, 5*TT] merged per-block operand for the pair-queue engine
+    # (ops/pairs.py): rows 0-17 the split-bf16 edge lhs, rows 18-38 the
+    # split num/den table; bf16 when B <= COMB_BF16_MAX_BLOCKS (whole
+    # array VMEM-resident in the kernel), f32 otherwise (HBM-streamed
+    # per block).  Precomputed HOST-SIDE on purpose: building this
+    # transpose/concat chain inside the same jit as the pallas call is
+    # miscompiled by XLA on TPU v5e (the operand arrives corrupted;
+    # passing it as a jit argument is correct), and per-scene
+    # precomputation is cheaper anyway.
+    comb: jnp.ndarray = None
 
 
 def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
@@ -149,6 +159,7 @@ def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
             edges_c[e_i, :3, sl] = np.cross(x, y).T  # A' x B'
             # rows 3:6 (A - B) are translation invariant: keep
         plane_c[3, sl] = np.einsum("td,td->t", n[sl], a_)  # n . A'
+    comb = _build_comb_np(edges_c, plane_c, normal_d)
     return TriFeatures(
         edges=jnp.asarray(edges),
         plane=jnp.asarray(plane),
@@ -157,7 +168,53 @@ def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
         normal_d=jnp.asarray(normal_d),
         block_bounds=jnp.asarray(bounds),
         num_tris=t,
+        comb=jnp.asarray(comb),
     )
+
+
+# above this block count the pair-queue engine streams f32 comb blocks
+# from HBM instead of keeping a bf16 copy VMEM-resident (~100 KB/block)
+COMB_BF16_MAX_BLOCKS = 64
+
+
+def _build_comb_np(edges_c: np.ndarray, plane_c: np.ndarray,
+                   normal_d: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) build of :attr:`TriFeatures.comb` - the
+    numpy mirror of ops.compact.build_comb_blocks + the bf16 downcast
+    for resident-scale scenes.  The bf16 copy reproduces the f32 MXU
+    result exactly: hi rows are bf16-representable by construction and
+    lo rows only lose sub-2^-16-relative residue the MXU drops anyway."""
+    import ml_dtypes
+
+    tp = edges_c.shape[-1]
+    tt = min(TRI_TILE, tp)
+    nb = tp // tt
+    f32 = np.float32
+    ecat = (
+        edges_c.reshape(3, 6, nb, tt).transpose(1, 2, 0, 3)
+        .reshape(6, nb * 3 * tt).astype(f32)
+    )
+    e_hi = ecat.astype(ml_dtypes.bfloat16).astype(f32)
+    e18 = np.concatenate([e_hi, ecat - e_hi, e_hi], axis=0)
+    p_hi = plane_c.astype(ml_dtypes.bfloat16).astype(f32)
+    n_hi = normal_d.astype(ml_dtypes.bfloat16).astype(f32)
+    a_num = np.concatenate(
+        [p_hi, p_hi, plane_c - p_hi, np.zeros((9, tp), f32)], axis=0
+    )
+    a_den = np.concatenate(
+        [np.zeros((12, tp), f32), n_hi, n_hi, normal_d - n_hi], axis=0
+    )
+    pnd = np.concatenate(
+        [a_num.reshape(21, nb, tt), a_den.reshape(21, nb, tt)], axis=2
+    ).reshape(21, 2 * tp)
+    e = e18.reshape(18, nb, 3 * tt).transpose(1, 0, 2)
+    p9 = pnd.reshape(21, nb, 2 * tt).transpose(1, 0, 2)
+    top = np.concatenate([e, np.zeros((nb, 18, 2 * tt), f32)], axis=2)
+    bot = np.concatenate([np.zeros((nb, 21, 3 * tt), f32), p9], axis=2)
+    comb = np.concatenate([top, bot], axis=1)  # [nb, 39, 5tt]
+    if nb <= COMB_BF16_MAX_BLOCKS:
+        comb = comb.astype(ml_dtypes.bfloat16)
+    return comb
 
 
 def build_ecat(edges: jnp.ndarray, num_tiles: int, tri_tile: int) -> jnp.ndarray:

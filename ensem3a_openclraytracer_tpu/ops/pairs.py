@@ -1,0 +1,278 @@
+"""Flat tile-pair closest-hit engine: per-tile block culling with a
+single Pallas pass and near-zero scheduling cost.
+
+The resident multi-block kernel (ops/intersect_mxu.py) already culls
+per ray *tile* - but inside the kernel, with a while/cond visit loop
+whose fixed costs (slab tests, cross-lane reductions, SMEM visit
+tables) made small tiles unprofitable, pinning it at 1024-lane tiles
+where the per-tile block union is ~32 of 62 blocks on the 15.7k-tri
+Monkey's bounce rays.  This engine hoists the culling OUT of the
+kernel into a dense XLA schedule and flattens the visit loop into the
+grid:
+
+  1. slab-test every ray against every block AABB ([N, B] dense VPU
+     table), OR-reduce over each RAY_TILE ray tile -> ``[G, B]`` "tile
+     g needs block j" table;
+  2. compact the (tile, block) pairs TILE-MAJOR into flat
+     ``pair_tile/pair_blk`` tables - the only irregular ops in the
+     engine run at G*B scale (~8k elements for Monkey; a per-RAY
+     queue design was measured unviable: TPU scatters cost ~5 ns per
+     update, so its N*B-scale queue scatter alone was ~19 ms/call);
+  3. one Pallas pass, grid = flat pair list: step s intersects ray
+     tile ``pair_tile[s]`` (a contiguous slice - rays never move)
+     against block ``pair_blk[s]``, min-combining packed ``(t | row)``
+     keys in VMEM across the tile's consecutive steps;
+  4. outputs land directly at ``[1, N]`` - no reduction pass at all.
+
+Tile-level culling does ~2-2.6x the MXU work of ideal per-ray culling
+(tile-union ~20-25 blocks vs per-ray ~9.5 at these tile sizes), but
+every per-pair overhead beyond the matmul is gone: no in-kernel
+slab/cond, no cross-lane early-exit reductions, no queue sorts or
+scatters, no ray gathers.  Callers should order rays coherently
+((direction octant, origin Morton) - ops.fused.coherent_order) so
+tile unions stay small; the engine is correct under any order.
+
+Capacity: the dense [G, B] table bounds the pair count by G*B, so the
+schedule can NEVER overflow - there is no fallback path.  Ray batches
+are chunked so the pair tables fit SMEM.
+
+Replaces the reference's per-ray BVH stack walk
+(/root/reference/Kernels/MathLib.cl:234-288 + stack.cl) as the
+traversal for scenes beyond one block; same precision scheme as the
+resident kernels (block-recentered split-bf16, ops/intersect_mxu.py).
+
+v5e platform hazards this engine is engineered around (each observed
+and bisected on hardware):
+
+  * the merged block operand (``feats.comb``) is precomputed HOST-SIDE
+    at feature-build time: building its transpose/concat chain in the
+    same jit as the pallas call is miscompiled by XLA (the kernel
+    reads a corrupted operand; the identical value passed as a jit
+    argument is bit-correct);
+  * grids are STATIC with masked tail steps: a traced (dynamic) grid
+    bound deadlocks the device when combined with SMEM inputs or
+    scalar prefetch, and can silently under-execute;
+  * in-graph schedule operands are fenced with
+    ``lax.optimization_barrier`` before the pallas call.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ensem3a_openclraytracer_tpu.ops.geometry import MAX_DIST, MIN_HIT_DIST
+from ensem3a_openclraytracer_tpu.ops.intersect import Hit
+from ensem3a_openclraytracer_tpu.ops.intersect_mxu import (
+    _MAXKEY,
+    COMB_BF16_MAX_BLOCKS,
+    TriFeatures,
+    block_centroid,
+    build_edge_rhs,
+    build_nd_rhs,
+)
+
+# rays per tile: the culling granularity AND the kernel step width.
+# Smaller tiles cull tighter (union ~20.5 blocks at 256 vs ~25 at 512
+# on Monkey bounce rays) at more per-step overhead.
+RAY_TILE = 512
+
+# chunk ray batches so the [N, B] slab table and the [G*B] pair tables
+# stay bounded (pair tables live in SMEM: G*B*4 bytes per table)
+MAX_RAYS_PER_CALL = 262144
+
+
+def _tile_loop_kernel(start_r, pair_blk_r, comb_ref, blocks_ref,
+                      o_ref, d_ref, key_ref, blk_ref, *, tri_tile):
+    """One RAY TILE per grid step: fori-loop over the tile's scheduled
+    blocks (``pair_blk[start[g]:start[g+1]]``), accumulating the packed
+    closest-hit key in registers/VMEM, one output write.  Zero masked
+    steps, zero per-pair grid machinery - the per-pair cost is just the
+    ray-side rebuild + the merged matmul.  ``comb_ref`` is the whole
+    [B, 39, 5TT] bf16 operand, VMEM-resident."""
+    g = pl.program_id(0)
+    k0 = start_r[g]
+    k1 = start_r[g + 1]
+    o = o_ref[:]
+    d = d_ref[:]
+    r = o.shape[-1]
+    row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
+
+    def body(k, carry):
+        key, blk = carry
+        j = pair_blk_r[k]
+        c = block_centroid(blocks_ref, j)
+        oc = jnp.concatenate(
+            [o[i : i + 1] - c[i] for i in range(3)], axis=0
+        )
+        q4c = jnp.concatenate([oc, jnp.ones_like(oc[0:1])], axis=0)
+        rhs = jnp.concatenate(
+            [build_edge_rhs(d, oc), build_nd_rhs(q4c, d)], axis=0
+        )  # [39, R] f32
+        comb_j = comb_ref[j]
+        out = lax.dot_general(
+            comb_j, rhs.astype(comb_j.dtype), (((0,), (0,)), ((), ())),
+            precision=lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )  # [5TT, R]
+        w1 = out[0:tri_tile]
+        w2 = out[tri_tile : 2 * tri_tile]
+        w3 = out[2 * tri_tile : 3 * tri_tile]
+        num = out[3 * tri_tile : 4 * tri_tile]
+        den = out[4 * tri_tile : 5 * tri_tile]
+        wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
+        wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
+        inside = (wmin >= 0) | (wmax <= 0)
+        t = num / jnp.where(den == 0.0, 1.0, den)
+        valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
+        t = jnp.where(valid, t, MAX_DIST)
+        key_j = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
+        kmin = jnp.min(key_j, axis=0, keepdims=True)  # [1, R]
+        better = kmin < key
+        return jnp.where(better, kmin, key), jnp.where(better, j, blk)
+
+    key0 = jnp.full((1, r), _MAXKEY, jnp.int32)
+    blk0 = jnp.zeros((1, r), jnp.int32)
+    key, blk = lax.fori_loop(k0, k1, body, (key0, blk0))
+    key_ref[:] = key
+    blk_ref[:] = blk
+
+
+def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
+    n = ray_o.shape[0]
+    nb = comb.shape[0]
+    tri_tile = comb.shape[-1] // 5
+    RT = RAY_TILE
+    block_bounds = feats.block_bounds
+
+    n_pad = (-n) % RT
+    if n_pad:
+        # padded rays: zero direction -> den 0 -> miss
+        ray_o = jnp.pad(ray_o, ((0, n_pad), (0, 0)))
+        ray_d = jnp.pad(ray_d, ((0, n_pad), (0, 0)))
+    npd = n + n_pad
+    g = npd // RT
+    s_max = g * nb
+
+    # per-ray slab table [N, B] (dense VPU work), then per-tile OR
+    tiny = 1e-12
+    ds = jnp.where(
+        jnp.abs(ray_d) < tiny, jnp.where(ray_d < 0, -tiny, tiny), ray_d
+    )
+    inv = 1.0 / ds  # [N, 3]
+    tmin = jnp.full((npd, nb), -3e38, jnp.float32)
+    tmax = jnp.full((npd, nb), 3e38, jnp.float32)
+    for k in range(3):
+        t1 = (block_bounds[None, :, k] - ray_o[:, k, None]) * inv[:, k, None]
+        t2 = (block_bounds[None, :, 3 + k] - ray_o[:, k, None]) * inv[:, k, None]
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+    pass_ = (tmax >= tmin) & (tmax >= 0.0)  # [N, B]
+    tile_pass = jnp.any(pass_.reshape(g, RT, nb), axis=1)  # [G, B]
+
+    # tile-major flat pair list (irregular ops at G*B scale only)
+    cnt = jnp.sum(tile_pass, axis=1).astype(jnp.int32)  # [G]
+    start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
+    pos = jnp.cumsum(tile_pass.astype(jnp.int32), axis=1) - 1  # [G, B]
+    ppos = jnp.where(tile_pass, start[:-1][:, None] + pos, s_max + 1)
+    bidx = jnp.broadcast_to(
+        jnp.arange(nb, dtype=jnp.int32)[None, :], (g, nb)
+    )
+    pair_blk = (
+        jnp.zeros(s_max, jnp.int32)
+        .at[ppos.reshape(-1)]
+        .set(bidx.reshape(-1), mode="drop", unique_indices=True)
+    )
+
+    # rays in [rows, lanes] operand layout, tiles = contiguous slices
+    o4 = jnp.concatenate(
+        [ray_o, jnp.ones((npd, 1), jnp.float32)], axis=-1
+    ).T  # [4, Npd]
+    d3 = ray_d.T  # [3, Npd]
+
+    start, pair_blk, o4, d3 = lax.optimization_barrier(
+        (start, pair_blk, o4, d3)
+    )
+
+    kernel = functools.partial(_tile_loop_kernel, tri_tile=tri_tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # start, pair_blk
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(comb.shape, lambda s, st, pb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block_bounds.shape, lambda s, st, pb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, RT), lambda s, st, pb: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, RT), lambda s, st, pb: (0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RT), lambda s, st, pb: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT), lambda s, st, pb: (0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    keys, blks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, npd), jnp.int32),
+            jax.ShapeDtypeStruct((1, npd), jnp.int32),
+        ),
+        interpret=interpret,
+    )(start, pair_blk, comb, block_bounds, o4, d3)
+
+    key = keys[0][:n]
+    blk = blks[0][:n]
+    t = lax.bitcast_convert_type(key & jnp.int32(~0xFF), jnp.float32)
+    tri = blk * tri_tile + (key & jnp.int32(0xFF))
+    hitm = t < MAX_DIST * 0.999
+    return Hit(
+        t=jnp.where(hitm, t, MAX_DIST),
+        tri=jnp.where(hitm, tri, 0),
+        hit=hitm,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_pairs(
+    feats: TriFeatures, ray_o, ray_d, *, interpret: bool = False
+) -> Hit:
+    """Closest hit of ``[N]`` rays via the flat tile-pair engine.
+    Equivalent to :func:`ops.intersect_mxu.trace_mxu` up to the packed
+    key's low-byte truncation and split-bf16 residuals."""
+    comb = feats.comb
+    if comb is None:
+        raise ValueError(
+            "trace_pairs needs TriFeatures.comb (host-precomputed by "
+            "build_tri_features; in-graph construction is miscompiled "
+            "on TPU - see the module docstring)"
+        )
+    n = ray_o.shape[0]
+    # chunk so the [S_max = G*B] SMEM pair tables stay <= ~200 KB each
+    nb = comb.shape[0]
+    chunk = min(MAX_RAYS_PER_CALL, max(RAY_TILE, (49152 // nb) * RAY_TILE))
+    if n > chunk:
+        parts = [
+            _trace_tilepairs_chunk(
+                feats, comb,
+                ray_o[i : i + chunk],
+                ray_d[i : i + chunk],
+                interpret,
+            )
+            for i in range(0, n, chunk)
+        ]
+        return Hit(
+            t=jnp.concatenate([h.t for h in parts]),
+            tri=jnp.concatenate([h.tri for h in parts]),
+            hit=jnp.concatenate([h.hit for h in parts]),
+        )
+    return _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret)
