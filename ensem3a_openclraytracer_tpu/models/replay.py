@@ -51,11 +51,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ensem3a_openclraytracer_tpu.models.pathtracer import (
-    _RESIDENT_MAX_BLOCKS,
     _gather_surface,
     _on_tpu,
     trace,
 )
+
+# VMEM-residency cap for the fused RECORD-mode kernel (the whole-bounce-loop
+# recorder keeps every comb block resident, so its limit is the kernel's
+# physical VMEM budget) - distinct from pathtracer._FUSED_MAX_BLOCKS, which
+# is the forward perf crossover to the pair engine, not a capacity limit.
+_RECORD_FUSED_MAX_BLOCKS = 256
 from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
 from ensem3a_openclraytracer_tpu.ops.bsdf import (
     EMISSIVE,
@@ -218,7 +223,7 @@ def record_paths(
         fused = (
             _on_tpu()
             and geom.feats is not None
-            and geom.feats.block_bounds.shape[0] <= _RESIDENT_MAX_BLOCKS
+            and geom.feats.block_bounds.shape[0] <= _RECORD_FUSED_MAX_BLOCKS
             and uniforms is None
             and glass_mode == "tint"
             and not nee
