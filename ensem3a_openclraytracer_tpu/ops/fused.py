@@ -268,7 +268,9 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                     num = nd_out[:tri_tile]
                     den = nd_out[tri_tile:]
                 t = num / jnp.where(den == 0.0, 1.0, den)
-                valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
+                # scale-aware self-hit epsilon (block_bounds col 6)
+                eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
+                valid = inside & (den != 0.0) & (t > eps)
                 t = jnp.where(valid, t, MAX_DIST)
                 key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
                 kmin = jnp.min(key, axis=0, keepdims=True)  # [1, R]

@@ -142,6 +142,23 @@ def build_tri_features(v0, v1, v2, pad_to: int | None = None) -> TriFeatures:
             blk = allv[:, lo_t:hi_t].reshape(-1, 3)
             bounds[b, :3] = blk.min(axis=0)
             bounds[b, 3:6] = blk.max(axis=0)
+    # column 6: scale-aware self-hit epsilon for the split-bf16 kernels.
+    # Their t carries an ABSOLUTE error band of ~2^-16 x the operand
+    # magnitude (block radius + ray-origin distance from the block
+    # centroid, both bounded by the scene diagonal), so a fixed
+    # MIN_HIT_DIST lets surface-origin rays spuriously re-hit their own
+    # surface once the scene is large (shadow acne measured on the
+    # 80-unit outdoor scene).  4x margin over the band; the exact f32
+    # engines keep plain MIN_HIT_DIST.
+    if t > 0:
+        scene_diag = float(
+            np.linalg.norm(
+                allv.reshape(-1, 3).max(axis=0) - allv.reshape(-1, 3).min(axis=0)
+            )
+        )
+    else:
+        scene_diag = 0.0
+    bounds[:, 6] = max(MIN_HIT_DIST, 2.0 ** -14 * scene_diag)
 
     # block-recentered copies for the bf16 kernels.  The centroid MUST
     # be computed exactly like the kernels recompute it from the slab
@@ -480,7 +497,11 @@ def _mxu_kernel(*refs):
         num = nd_out[:tri_tile]
         den = nd_out[tri_tile:]
         t = num / jnp.where(den == 0.0, 1.0, den)
-        valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
+        # scale-aware self-hit epsilon (block_bounds col 6; see
+        # build_tri_features) - the split-bf16 t band grows with scene
+        # scale, so a fixed cutoff would leak self-hits on big scenes
+        eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
+        valid = inside & (den != 0.0) & (t > eps)
         t = jnp.where(valid, t, MAX_DIST)
         key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
         kmin = jnp.min(key, axis=0, keepdims=True)  # [1, R]

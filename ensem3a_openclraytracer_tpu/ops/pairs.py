@@ -87,14 +87,18 @@ RAY_TILE = 512
 MAX_RAYS_PER_CALL = 262144
 
 
-def _tile_loop_kernel(start_r, pair_blk_r, comb_ref, blocks_ref,
+def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
                       o_ref, d_ref, key_ref, blk_ref, *, tri_tile):
-    """One RAY TILE per grid step: fori-loop over the tile's scheduled
-    blocks (``pair_blk[start[g]:start[g+1]]``), accumulating the packed
-    closest-hit key in registers/VMEM, one output write.  Zero masked
-    steps, zero per-pair grid machinery - the per-pair cost is just the
-    ray-side rebuild + the merged matmul.  ``comb_ref`` is the whole
-    [B, 39, 5TT] bf16 operand, VMEM-resident."""
+    """One RAY TILE per grid step: while-loop over the tile's scheduled
+    blocks (``pair_blk[start[g]:start[g+1]]``, FRONT-TO-BACK by slab
+    entry distance), accumulating the packed closest-hit key in
+    registers/VMEM, one output write.  ``pair_ent[k]`` is the tile's
+    minimum slab entry distance of block ``pair_blk[k]``; entries are
+    ascending within a tile's segment, so the loop stops as soon as
+    every lane's best hit is closer than the next block's entry - the
+    per-tile early termination the round-4 engine lacked (VERDICT
+    round 5 item 4).  ``comb_ref`` is the whole [B, 39, 5TT] bf16
+    operand, VMEM-resident."""
     g = pl.program_id(0)
     k0 = start_r[g]
     k1 = start_r[g + 1]
@@ -103,8 +107,8 @@ def _tile_loop_kernel(start_r, pair_blk_r, comb_ref, blocks_ref,
     r = o.shape[-1]
     row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
 
-    def body(k, carry):
-        key, blk = carry
+    def body(state):
+        k, key, blk = state
         j = pair_blk_r[k]
         c = block_centroid(blocks_ref, j)
         oc = jnp.concatenate(
@@ -129,16 +133,27 @@ def _tile_loop_kernel(start_r, pair_blk_r, comb_ref, blocks_ref,
         wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
         inside = (wmin >= 0) | (wmax <= 0)
         t = num / jnp.where(den == 0.0, 1.0, den)
-        valid = inside & (den != 0.0) & (t > MIN_HIT_DIST)
+        # scale-aware self-hit epsilon (block_bounds col 6)
+        eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
+        valid = inside & (den != 0.0) & (t > eps)
         t = jnp.where(valid, t, MAX_DIST)
         key_j = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
         kmin = jnp.min(key_j, axis=0, keepdims=True)  # [1, R]
         better = kmin < key
-        return jnp.where(better, kmin, key), jnp.where(better, j, blk)
+        return (k + 1,
+                jnp.where(better, kmin, key),
+                jnp.where(better, j, blk))
+
+    def cond(state):
+        k, key, _ = state
+        # `&` does not short-circuit: clamp the SMEM read for k == k1
+        best_t = pltpu.bitcast(key & jnp.int32(~0xFF), jnp.float32)
+        nxt = pair_ent_r[jnp.minimum(k, pair_ent_r.shape[0] - 1)]
+        return (k < k1) & (jnp.max(best_t) >= nxt)
 
     key0 = jnp.full((1, r), _MAXKEY, jnp.int32)
     blk0 = jnp.zeros((1, r), jnp.int32)
-    key, blk = lax.fori_loop(k0, k1, body, (key0, blk0))
+    _, key, blk = lax.while_loop(cond, body, (k0, key0, blk0))
     key_ref[:] = key
     blk_ref[:] = blk
 
@@ -173,20 +188,34 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
     pass_ = (tmax >= tmin) & (tmax >= 0.0)  # [N, B]
-    tile_pass = jnp.any(pass_.reshape(g, RT, nb), axis=1)  # [G, B]
+    # per-(tile, block) minimum entry distance; inf = tile skips block
+    entry = jnp.where(pass_, jnp.maximum(tmin, 0.0), jnp.inf)  # [N, B]
+    tile_entry = jnp.min(entry.reshape(g, RT, nb), axis=1)  # [G, B]
+    tile_pass = jnp.isfinite(tile_entry)  # [G, B]
 
-    # tile-major flat pair list (irregular ops at G*B scale only)
+    # tile-major flat pair list, FRONT-TO-BACK within each tile's
+    # segment (irregular ops at G*B scale only): sort each tile's
+    # blocks by entry distance - scheduled (finite) entries sort first,
+    # so the segment is the first cnt[g] sorted slots
     cnt = jnp.sum(tile_pass, axis=1).astype(jnp.int32)  # [G]
     start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
-    pos = jnp.cumsum(tile_pass.astype(jnp.int32), axis=1) - 1  # [G, B]
-    ppos = jnp.where(tile_pass, start[:-1][:, None] + pos, s_max + 1)
     bidx = jnp.broadcast_to(
         jnp.arange(nb, dtype=jnp.int32)[None, :], (g, nb)
     )
+    ent_sorted, blk_sorted = lax.sort((tile_entry, bidx), num_keys=1)
+    pos = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (g, nb))
+    slot = jnp.where(
+        pos < cnt[:, None], start[:-1][:, None] + pos, s_max + 1
+    )
     pair_blk = (
         jnp.zeros(s_max, jnp.int32)
-        .at[ppos.reshape(-1)]
-        .set(bidx.reshape(-1), mode="drop", unique_indices=True)
+        .at[slot.reshape(-1)]
+        .set(blk_sorted.reshape(-1), mode="drop", unique_indices=True)
+    )
+    pair_ent = (
+        jnp.zeros(s_max, jnp.float32)
+        .at[slot.reshape(-1)]
+        .set(ent_sorted.reshape(-1), mode="drop", unique_indices=True)
     )
 
     # rays in [rows, lanes] operand layout, tiles = contiguous slices
@@ -195,28 +224,28 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
     ).T  # [4, Npd]
     d3 = ray_d.T  # [3, Npd]
 
-    start, pair_blk, o4, d3 = lax.optimization_barrier(
-        (start, pair_blk, o4, d3)
+    start, pair_blk, pair_ent, o4, d3 = lax.optimization_barrier(
+        (start, pair_blk, pair_ent, o4, d3)
     )
 
     kernel = functools.partial(_tile_loop_kernel, tri_tile=tri_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # start, pair_blk
+        num_scalar_prefetch=3,  # start, pair_blk, pair_ent
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(comb.shape, lambda s, st, pb: (0, 0, 0),
+            pl.BlockSpec(comb.shape, lambda s, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(block_bounds.shape, lambda s, st, pb: (0, 0),
+            pl.BlockSpec(block_bounds.shape, lambda s, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, RT), lambda s, st, pb: (0, s),
+            pl.BlockSpec((4, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, RT), lambda s, st, pb: (0, s),
+            pl.BlockSpec((3, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, RT), lambda s, st, pb: (0, s),
+            pl.BlockSpec((1, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RT), lambda s, st, pb: (0, s),
+            pl.BlockSpec((1, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -228,7 +257,7 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
             jax.ShapeDtypeStruct((1, npd), jnp.int32),
         ),
         interpret=interpret,
-    )(start, pair_blk, comb, block_bounds, o4, d3)
+    )(start, pair_blk, pair_ent, comb, block_bounds, o4, d3)
 
     key = keys[0][:n]
     blk = blks[0][:n]

@@ -118,3 +118,33 @@ def test_pallas_block_culling_matches_scan(rng):
     h_ref = trace_mxu(feats, ro, rd)
     h_pal = trace_mxu_pallas(feats, ro, rd, interpret=True)
     assert_hits_match(h_ref, h_pal, t_tol=3e-3)  # t up to ~40 at 3e-5 rel
+
+
+def test_refine_hit_t_repairs_truncated_t():
+    """pathtracer.refine_hit_t: given the right triangle with a
+    packed-key-truncated t (low 8 mantissa bits zeroed, the bf16 Pallas
+    engines' output), the refined t matches the exact f32 trace."""
+    import numpy as np
+
+    from ensem3a_openclraytracer_tpu.models.pathtracer import refine_hit_t
+    from ensem3a_openclraytracer_tpu.ops.intersect import Hit
+    from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene
+
+    geom, m, e, c = make_outdoor_scene(n_cubes=16, use_bvh=False)
+    rng = np.random.default_rng(5)
+    n = 256
+    o = jnp.asarray(rng.uniform(-10, 10, (n, 3)).astype(np.float32) + np.float32([0, 0, 8]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    exact = trace_mxu(geom.feats, o, d)
+    t_trunc = jnp.asarray(
+        np.asarray(exact.t).view(np.int32) & ~np.int32(0xFF)
+    ).view(jnp.float32)
+    got = refine_hit_t(
+        geom.feats, o, d, Hit(t=t_trunc, tri=exact.tri, hit=exact.hit)
+    )
+    te, tg = np.asarray(exact.t), np.asarray(got.t)
+    hit = np.asarray(exact.hit)
+    np.testing.assert_allclose(tg[hit], te[hit], rtol=2e-6)
+    # truncation alone is NOT that accurate - the repair did something
+    assert np.abs(np.asarray(t_trunc)[hit] - te[hit]).max() > 0
