@@ -80,6 +80,7 @@ def render_for_grad(
     mesh=None,
     nee: bool = False,
     lights=None,
+    mis: bool = False,
 ):
     """Differentiable render from a :class:`TrainableParams` pytree - the
     single entry point every gradient consumer (train step, fwd+bwd
@@ -88,9 +89,22 @@ def render_for_grad(
     engine (models/replay.py: trace once, differentiate a shading-only
     replay); sharded renders differentiate through the scan estimator
     under ``shard_map``.  ``nee=True`` (with ``lights``) switches both
-    engines to the low-variance next-event estimator."""
+    engines to the low-variance next-event estimator; ``mis=True``
+    (implies nee) uses the balance-heuristic combination, which runs on
+    the scan estimator (the replay recorder has no MIS mode)."""
     m, e = params.apply(materials, env)
     if mesh is None:
+        if mis:
+            from ensem3a_openclraytracer_tpu.models.pathtracer import (
+                render_radiance,
+            )
+
+            return render_radiance(
+                geom, m, e, camera, key,
+                height=height, width=width, spp=spp, max_bounce=max_bounce,
+                sun_enabled=sun_enabled, fused=False,
+                nee=True, lights=lights, mis=True,
+            )
         return render_radiance_replay(
             geom, m, e, camera, key,
             height=height, width=width, spp=spp, max_bounce=max_bounce,
@@ -99,7 +113,8 @@ def render_for_grad(
     return render_radiance_sharded(
         mesh, geom, m, e, camera, key,
         height=height, width=width, spp=spp, max_bounce=max_bounce,
-        sun_enabled=sun_enabled, fused=False, nee=nee, lights=lights,
+        sun_enabled=sun_enabled, fused=False, nee=nee or mis, lights=lights,
+        mis=mis,
     )
 
 
@@ -118,6 +133,7 @@ def make_train_step(
     sun_enabled: bool = True,
     nee: bool = False,
     lights=None,
+    mis: bool = False,
 ):
     """Build ``(init, step)`` for inverse rendering against a target image.
 
@@ -141,6 +157,7 @@ def make_train_step(
             mesh=mesh,
             nee=nee,
             lights=lights,
+            mis=mis,
         )
 
     def loss_fn(params, target, key):

@@ -237,6 +237,10 @@ def render_radiance_torch(
     max_bounce: int,
     sun_enabled: bool = True,
     glass_mode: str = "tint",
+    nee: bool = False,
+    mis: bool = False,
+    lights=None,
+    light_uniforms=None,
 ):
     """Radiance image ``[H, W, 3]`` as a torch tensor (autograd-ready).
 
@@ -244,7 +248,13 @@ def render_radiance_torch(
     ``ibl [Hi, Wi, 3]`` may be tensors with ``requires_grad=True``.
     ``uniforms`` is ``[spp, max_bounce + 1, N, 2]`` float32 - the same
     stream handed to the JAX estimator.
-    """
+
+    ``nee=True`` mirrors ``pathtracer.nee_contribution``: one
+    area-sampled shadow ray per diffuse/glossy vertex with binary
+    emission suppression at the next vertex; ``mis=True`` the balance
+    heuristic combination.  ``lights`` is ``(lv0, lv1, lv2, ln, larea,
+    lmat)`` arrays; ``light_uniforms`` is ``[spp, max_bounce + 1, N, 3]``
+    - the same stream as the JAX estimator's."""
     v0, v1, v2, face_n = _f32(v0), _f32(v1), _f32(v2), _f32(face_n)
     ior = _f32(ior)
     face_mat = torch.as_tensor(np.asarray(face_mat, np.int64))
@@ -252,6 +262,18 @@ def render_radiance_torch(
     uniforms = _f32(uniforms)
     spp = uniforms.shape[0]
     n_rays = height * width
+    if mis and not nee:
+        raise ValueError("mis=True requires nee=True")
+    if nee:
+        if lights is None or light_uniforms is None:
+            raise ValueError("nee=True needs lights and light_uniforms")
+        lv0, lv1, lv2 = _f32(lights[0]), _f32(lights[1]), _f32(lights[2])
+        ln, larea = _f32(lights[3]), _f32(lights[4])
+        lmat = torch.as_tensor(np.asarray(lights[5], np.int64))
+        n_lights = lv0.shape[0]
+        light_uniforms = _f32(light_uniforms)
+    if mis:
+        face_area = 0.5 * torch.cross(v1 - v0, v2 - v0, dim=-1).norm(dim=-1)
 
     ray_o, ray_d = camera_rays(cam_position, cam_rotation_deg, cam_fov_deg, height, width)
     pt, pi, phit = trace(v0, v1, v2, ray_o, ray_d)
@@ -271,6 +293,43 @@ def render_radiance_torch(
     sdir = sun_direction(sun_angles_deg).expand(n_rays, 3)
     primary_miss = torch.where(phit[:, None], torch.zeros(1), env_radiance(ray_d))
 
+    def nee_contribution(live, thr, in_dir, surf, ul):
+        """Mirror of pathtracer.nee_contribution (same uniform roles)."""
+        u3, u4, u5 = ul[:, 0], ul[:, 1], ul[:, 2]
+        li = (u3 * n_lights).long().clamp(0, n_lights - 1)
+        lpow = roughness[lmat[li]]
+        s_ = torch.sqrt(u4)
+        x = (
+            lv0[li]
+            + (lv1[li] - lv0[li]) * (1.0 - s_)[:, None]
+            + (lv2[li] - lv0[li]) * (u5 * s_)[:, None]
+        )
+        delta = x - surf["p"]
+        dist2 = (delta * delta).sum(-1).clamp(min=1e-8)
+        dist = dist2.sqrt()
+        ldir = (delta / dist[:, None]).detach()
+        cos_s = (ldir * surf["n"]).sum(-1)
+        cos_l = (ldir * ln[li]).sum(-1).abs()
+        st, _, _ = trace(v0, v1, v2, surf["p"], ldir)
+        visible = st >= dist * (1.0 - 1e-3)
+        is_glossy = surf["mtype"] == GLOSSY
+        brdf = torch.where(
+            is_glossy[:, None],
+            eval_ggx(surf["color"], surf["rough"], -in_dir, ldir, surf["n"]),
+            surf["color"] / PI,
+        )
+        weight = (n_lights * larea[li]) * cos_l / dist2
+        sampled = live & (surf["mtype"] != EMISSIVE) & (surf["mtype"] != GLASS)
+        ok = sampled & visible & (cos_s > 0.0) & (cos_l > 1e-6)
+        contrib = thr * brdf * (cos_s.clamp(min=0.0) * weight * lpow)[:, None]
+        if mis:
+            p_b = torch.where(
+                is_glossy, torch.full_like(cos_s, 1.0 / (2.0 * PI)),
+                cos_s.clamp(min=0.0) / PI,
+            )
+            contrib = contrib / (1.0 + p_b * weight)[:, None]
+        return torch.where(ok[:, None], contrib, torch.zeros(1)), sampled
+
     acc = torch.zeros(n_rays, 3)
     for s in range(spp):
         live = phit.clone()
@@ -278,15 +337,26 @@ def render_radiance_torch(
         rad = primary_miss.clone()
         in_dir = ray_d
         surf = surface(ray_o, ray_d, pt, pi)
+        emis_w = torch.ones(n_rays)
         for j in range(max_bounce + 1):
             u = uniforms[s, j]
             u1, u2 = u[:, 0], u[:, 1]
 
             emis = live & (surf["mtype"] == EMISSIVE)
             rad = rad + torch.where(
-                emis[:, None], thr * surf["rough"][:, None], torch.zeros(1)
+                emis[:, None],
+                thr * (surf["rough"] * emis_w)[:, None],
+                torch.zeros(1),
             )
             live = live & ~emis
+
+            if nee:
+                direct, sampled = nee_contribution(
+                    live, thr, in_dir, surf, light_uniforms[s, j]
+                )
+                rad = rad + direct
+                if not mis:
+                    emis_w = torch.where(live, 1.0 - sampled.float(), emis_w)
 
             d_diff, ip_diff = sample_cosine(surf["n"], u1, u2)
             d_unif, ip_unif = sample_uniform(surf["n"], u1, u2)
@@ -336,6 +406,21 @@ def render_radiance_torch(
             live = live & bhit
 
             new_surf = surface(surf["p"], bdir, bt, bi)
+            if mis:
+                p_b = torch.where(
+                    surf["mtype"] == GLOSSY,
+                    torch.full_like(bt, 1.0 / (2.0 * PI)),
+                    (bdir * surf["n"]).sum(-1).clamp(min=0.0) / PI,
+                )
+                cos_l = (bdir * new_surf["n"]).sum(-1).abs()
+                p_nee_hit = (bt * bt) / (
+                    n_lights * face_area[bi] * cos_l.clamp(min=1e-6)
+                )
+                w_b = p_b / (p_b + p_nee_hit)
+                emis_w = torch.where(
+                    live, torch.where(sampled, w_b, torch.ones_like(w_b)),
+                    emis_w,
+                )
             lm = live[:, None]
             surf = {
                 "p": torch.where(lm, new_surf["p"], surf["p"]),
@@ -349,7 +434,9 @@ def render_radiance_torch(
 
         final_emis = live & (surf["mtype"] == EMISSIVE)
         rad = rad + torch.where(
-            final_emis[:, None], thr * surf["rough"][:, None], torch.zeros(1)
+            final_emis[:, None],
+            thr * (surf["rough"] * emis_w)[:, None],
+            torch.zeros(1),
         )
         acc = acc + rad
 
@@ -358,11 +445,14 @@ def render_radiance_torch(
 
 def render_scene_arrays(geom, materials, env, camera, uniforms, *, height, width,
                         max_bounce, sun_enabled=True, requires_grad=False,
-                        glass_mode="tint"):
+                        glass_mode="tint", nee=False, mis=False, lights=None,
+                        light_uniforms=None):
     """Convenience wrapper taking the JAX pytrees (converted via numpy).
 
     Returns ``(image, params)`` where ``params`` is the dict of leaf
-    tensors (with ``requires_grad`` set as asked) for autograd access."""
+    tensors (with ``requires_grad`` set as asked) for autograd access.
+    ``lights`` may be a JAX :class:`LightPack`; it is unpacked to the
+    plain arrays the torch estimator consumes."""
     params = {
         "color": _f32(np.asarray(materials.color)).requires_grad_(requires_grad),
         "roughness": _f32(np.asarray(materials.roughness)).requires_grad_(requires_grad),
@@ -383,5 +473,12 @@ def render_scene_arrays(geom, materials, env, camera, uniforms, *, height, width
         uniforms,
         height=height, width=width, max_bounce=max_bounce, sun_enabled=sun_enabled,
         glass_mode=glass_mode,
+        nee=nee, mis=mis,
+        lights=None if lights is None else (
+            np.asarray(lights.v0), np.asarray(lights.v1),
+            np.asarray(lights.v2), np.asarray(lights.n),
+            np.asarray(lights.area), np.asarray(lights.mat),
+        ),
+        light_uniforms=light_uniforms,
     )
     return img, params

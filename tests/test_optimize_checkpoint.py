@@ -77,3 +77,28 @@ def test_checkpoint_roundtrip_preserves_state(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(k2)), np.asarray(jax.random.key_data(key))
     )
+
+
+def test_train_step_nee_and_mis():
+    """make_train_step with nee / mis (VERDICT round-5 item 8: optimize
+    could not use the NEE/MIS estimators): one step each produces a
+    finite loss and materially updates the parameters."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+    geom, materials, env, camera = make_cornell_scene(use_bvh=False)
+    lights = build_light_pack(geom, materials)
+    assert lights is not None
+    target = jnp.zeros((RES, RES, 3), jnp.float32)
+    for kw in ({"nee": True}, {"nee": True, "mis": True}):
+        optimizer = optax.adam(LR)
+        init, step = make_train_step(
+            geom, materials, env, camera, optimizer,
+            height=RES, width=RES, spp=SPP, max_bounce=MB,
+            sun_enabled=False, lights=lights, **kw,
+        )
+        params, opt_state = init()
+        p2, _, loss = step(params, opt_state, target, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        assert not np.allclose(
+            np.asarray(p2.color), np.asarray(params.color)
+        ), kw

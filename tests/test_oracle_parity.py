@@ -188,3 +188,76 @@ def test_gradient_finite_differences(rng):
     f0 = loss(jnp.asarray(11.0, jnp.float32))
     fd = (f1 - f0) / 2.0
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+
+@pytest.mark.parametrize("mis", [False, True])
+def test_image_parity_nee_mis(rng, mis):
+    """NEE / MIS estimator parity vs the torch oracle on the same
+    uniform + light-uniform streams (VERDICT round-5 item 8: the two
+    newest estimators had no independent check)."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+    geom = cornell_geometry()
+    m, e, c = cornell_materials(), cornell_env(), cornell_camera()
+    lights = build_light_pack(geom, m)
+    assert lights is not None
+    u = _uniforms(rng, SPP, MB, RES * RES)
+    ul = rng.random(size=(SPP, MB + 1, RES * RES, 3), dtype=np.float64).astype(
+        np.float32
+    )
+    img_jax = np.asarray(
+        render_radiance(
+            geom, m, e, c, jax.random.PRNGKey(0),
+            height=RES, width=RES, spp=SPP, max_bounce=MB,
+            sun_enabled=False, uniforms=jnp.asarray(u),
+            nee=True, mis=mis, lights=lights,
+            light_uniforms=jnp.asarray(ul), fused=False,
+        )
+    )
+    img_t, _ = render_scene_arrays(
+        geom, m, e, c, u, height=RES, width=RES, max_bounce=MB,
+        sun_enabled=False, nee=True, mis=mis, lights=lights,
+        light_uniforms=ul,
+    )
+    maxerr, frac_bad = _mismatch_stats(img_jax, img_t.detach().numpy())
+    assert frac_bad < 0.02, f"max={maxerr} frac_bad={frac_bad}"
+
+
+def test_nee_gradient_parity(rng):
+    """Autograd parity through the NEE estimator: color / roughness
+    (emissive power flows through the NEE light term)."""
+    from ensem3a_openclraytracer_tpu.scene.scene import build_light_pack
+
+    geom = cornell_geometry()
+    m, e, c = cornell_materials(), cornell_env(), cornell_camera()
+    lights = build_light_pack(geom, m)
+    u = _uniforms(rng, SPP, MB, RES * RES)
+    ul = rng.random(size=(SPP, MB + 1, RES * RES, 3), dtype=np.float64).astype(
+        np.float32
+    )
+
+    def loss_jax(color, roughness):
+        m2 = m._replace(color=color, roughness=roughness)
+        img = render_radiance(
+            geom, m2, e, c, jax.random.PRNGKey(0),
+            height=RES, width=RES, spp=SPP, max_bounce=MB,
+            sun_enabled=False, uniforms=jnp.asarray(u),
+            nee=True, lights=lights, light_uniforms=jnp.asarray(ul),
+            fused=False,
+        )
+        return jnp.sum(img)
+
+    g_color, g_rough = jax.grad(loss_jax, argnums=(0, 1))(m.color, m.roughness)
+
+    img_t, params = render_scene_arrays(
+        geom, m, e, c, u, height=RES, width=RES, max_bounce=MB,
+        sun_enabled=False, requires_grad=True,
+        nee=True, lights=lights, light_uniforms=ul,
+    )
+    img_t.sum().backward()
+    for g_jax, name in ((g_color, "color"), (g_rough, "roughness")):
+        g_ref = params[name].grad.numpy()
+        scale = max(np.abs(g_ref).max(), 1e-3)
+        rel = np.abs(np.asarray(g_jax) - g_ref) / scale
+        assert rel.max() < 5e-3, f"{name}: rel max err {rel.max()}"
+        assert np.abs(g_ref).max() > 0.0, name
