@@ -46,6 +46,31 @@ def _parse_mesh(spec):
     return make_mesh(jax.devices()[: dp * sp], sp=sp)
 
 
+GLOBAL_CONFIG = "config.ini"
+
+
+def _global_scene_path():
+    """Read ``scenePath`` from the cwd ``config.ini`` - the reference's
+    last-scene memory (/root/reference/config.ini:1, UI.py:57-61)."""
+    try:
+        with open(GLOBAL_CONFIG) as f:
+            for line in f:
+                k, _, v = line.partition("=")
+                if k.strip() == "scenePath":
+                    return v.strip()
+    except OSError:
+        return None
+    return None
+
+
+def _remember_scene_path(path: str) -> None:
+    try:
+        with open(GLOBAL_CONFIG, "w") as f:
+            f.write(f"scenePath={os.path.abspath(path)}\n")
+    except OSError:
+        pass  # read-only cwd: last-scene memory is best-effort
+
+
 def cmd_render(args) -> int:
     import jax
     import numpy as np
@@ -61,92 +86,137 @@ def cmd_render(args) -> int:
         xla_trace,
     )
 
+    if not args.scene:
+        args.scene = _global_scene_path()
+        if not args.scene:
+            raise SystemExit(
+                "no scene given and no scenePath in ./config.ini"
+            )
     timer = StageTimer()
     with timer.stage("scene_load"):
         sc = _load_scene(args.scene)
-    rs = sc.config.render_settings()
-    res = args.resolution or rs.resolution
-    spp = args.spp or rs.spp
-    max_bounce = args.max_bounce or rs.max_bounce
-    env = sc.env_params()
-    sun_enabled = float(env.sun_power) != 0.0
-    lights = None
-    mis = bool(getattr(args, "mis", False))
-    nee = bool(getattr(args, "nee", False)) or mis
-    glass_mode = getattr(args, "glass", "tint")
-    if nee:
-        lights = sc.light_pack()
-        if lights is None:
-            print("warning: --nee/--mis requested but scene has no emissive "
-                  "faces; disabled")
-            nee = mis = False
+    _remember_scene_path(args.scene)
 
-    mesh = _parse_mesh(args.mesh)
-    t0 = time.time()
-    if mesh is not None:
-        # one-shot sharded render over the (dp, sp) mesh (progressive
-        # checkpointing is the single-device path's job); NEE and glass
-        # mode plumb through like the single-device estimator
-        from ensem3a_openclraytracer_tpu.parallel.render import render_radiance_sharded
+    def one_render(sc):
+        """One full render of ``sc`` at its current config - re-entered
+        by --watch with the geometry reused (UI.py:92-104 round trip)."""
+        rs = sc.config.render_settings()
+        res = args.resolution or rs.resolution
+        spp = args.spp or rs.spp
+        max_bounce = args.max_bounce or rs.max_bounce
+        env = sc.env_params()
+        sun_enabled = float(env.sun_power) != 0.0
+        lights = None
+        mis = bool(getattr(args, "mis", False))
+        nee = bool(getattr(args, "nee", False)) or mis
+        glass_mode = getattr(args, "glass", "tint")
+        if nee:
+            lights = sc.light_pack()
+            if lights is None:
+                print("warning: --nee/--mis requested but scene has no "
+                      "emissive faces; disabled")
+                nee = mis = False
 
-        spp_done = spp
-        with xla_trace(args.profile), timer.stage("render"):
-            rad = render_radiance_sharded(
-                mesh, sc.geometry, sc.material_params(), env, sc.camera_params(),
-                jax.random.PRNGKey(args.seed),
-                height=res, width=res, spp=spp, max_bounce=max_bounce,
+        mesh = _parse_mesh(args.mesh)
+        t0 = time.time()
+        if mesh is not None:
+            # one-shot sharded render over the (dp, sp) mesh (progressive
+            # checkpointing is the single-device path's job); NEE and glass
+            # mode plumb through like the single-device estimator
+            from ensem3a_openclraytracer_tpu.parallel.render import render_radiance_sharded
+
+            spp_done = spp
+            with xla_trace(args.profile), timer.stage("render"):
+                rad = render_radiance_sharded(
+                    mesh, sc.geometry, sc.material_params(), env, sc.camera_params(),
+                    jax.random.PRNGKey(args.seed),
+                    height=res, width=res, spp=spp, max_bounce=max_bounce,
+                    sun_enabled=sun_enabled,
+                    lights=lights, nee=nee, glass_mode=glass_mode, mis=mis,
+                )
+                img = jax.block_until_ready(jnp_clip_img(rad))
+        else:
+            chunk = min(args.chunk_spp, spp)
+            kw = dict(
+                height=res,
+                width=res,
+                max_bounce=max_bounce,
+                chunk_spp=chunk,
                 sun_enabled=sun_enabled,
-                lights=lights, nee=nee, glass_mode=glass_mode, mis=mis,
+                lights=lights,
+                nee=nee,
+                glass_mode=glass_mode,
+                mis=mis,
             )
-            img = jax.block_until_ready(jnp_clip_img(rad))
-    else:
-        chunk = min(args.chunk_spp, spp)
-        kw = dict(
-            height=res,
-            width=res,
-            max_bounce=max_bounce,
-            chunk_spp=chunk,
-            sun_enabled=sun_enabled,
-            lights=lights,
-            nee=nee,
-            glass_mode=glass_mode,
-            mis=mis,
-        )
-        ckpt = args.checkpoint
-        with timer.stage("setup"):
-            if ckpt and os.path.exists(ckpt) and not args.restart:
-                r = ProgressiveRenderer.resume(
-                    ckpt, sc.geometry, sc.material_params(), env, sc.camera_params(), **kw
+            ckpt = args.checkpoint
+            with timer.stage("setup"):
+                if ckpt and os.path.exists(ckpt) and not args.restart:
+                    r = ProgressiveRenderer.resume(
+                        ckpt, sc.geometry, sc.material_params(), env, sc.camera_params(), **kw
+                    )
+                    print(f"resumed at {r.state.spp_done} spp from {ckpt}")
+                else:
+                    r = ProgressiveRenderer(
+                        sc.geometry, sc.material_params(), env, sc.camera_params(),
+                        base_seed=args.seed, **kw,
+                    )
+            with xla_trace(args.profile), timer.stage("render"):
+                img = r.render(
+                    spp,
+                    checkpoint_path=ckpt,
+                    progress=lambda done, total: print(f"  {done}/{total} spp", flush=True)
+                    if args.verbose
+                    else None,
                 )
-                print(f"resumed at {r.state.spp_done} spp from {ckpt}")
-            else:
-                r = ProgressiveRenderer(
-                    sc.geometry, sc.material_params(), env, sc.camera_params(),
-                    base_seed=args.seed, **kw,
-                )
-        with xla_trace(args.profile), timer.stage("render"):
-            img = r.render(
-                spp,
-                checkpoint_path=ckpt,
-                progress=lambda done, total: print(f"  {done}/{total} spp", flush=True)
-                if args.verbose
-                else None,
-            )
-        spp_done = r.state.spp_done
-    wall = time.time() - t0
-    out = args.out or os.path.join("output", "out.png")
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    from ensem3a_openclraytracer_tpu.ops.tonemap import postprocess
+            spp_done = r.state.spp_done
+        wall = time.time() - t0
+        out = args.out or os.path.join("output", "out.png")
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        from ensem3a_openclraytracer_tpu.ops.tonemap import postprocess
 
-    with timer.stage("write"):
-        save_png(np.asarray(postprocess(img, mode=args.tonemap)), out)
-    m = RenderMetrics(wall, res, spp_done, max_bounce, sun_enabled)
-    print(f"rendered {res}x{res} @ {spp_done} spp in {wall:.2f}s "
-          f"({m.mrays_per_s:.1f} Mrays/s) -> {out}")
-    if args.profile:
-        print(f"XLA trace -> {args.profile}")
-    if args.verbose:
-        print("stages:", timer.report())
+        with timer.stage("write"):
+            save_png(np.asarray(postprocess(img, mode=args.tonemap)), out)
+            # raw (pre-tonemap) copy next to it, reference parity
+            # (main.py:101-104 writes output/out.png AND output/src.png)
+            src = os.path.join(os.path.dirname(out) or ".", "src.png")
+            save_png(np.clip(np.asarray(img), 0.0, 1.0), src)
+        m = RenderMetrics(wall, res, spp_done, max_bounce, sun_enabled)
+        print(f"rendered {res}x{res} @ {spp_done} spp in {wall:.2f}s "
+              f"({m.mrays_per_s:.1f} Mrays/s) -> {out}")
+        if args.profile:
+            print(f"XLA trace -> {args.profile}")
+        if args.verbose:
+            print("stages:", timer.report())
+
+    one_render(sc)
+    if getattr(args, "watch", None) is not None:
+        # interactive loop (the reference UI's edit -> render -> refresh
+        # cycle, UI.py:92-104): poll the scene ini, re-render on change
+        # WITHOUT re-importing geometry or rebuilding acceleration
+        # structures (the buildBVH=False path, UI.py:98).  --watch N
+        # exits after N re-renders (0 = forever), so tests can drive it.
+        from ensem3a_openclraytracer_tpu.scene.scene import Scene
+
+        ini = sc.config.config_path
+        last = os.path.getmtime(ini) if os.path.exists(ini) else 0.0
+        todo = args.watch
+        done = 0
+        print(f"watching {ini} (ctrl-C to stop)", flush=True)
+        try:
+            while todo == 0 or done < todo:
+                time.sleep(args.watch_poll)
+                mtime = os.path.getmtime(ini) if os.path.exists(ini) else 0.0
+                if mtime == last:
+                    continue
+                last = mtime
+                with timer.stage("scene_reload"):
+                    sc = Scene.load(
+                        args.scene, rebuild_accel=False, geometry=sc.geometry
+                    )
+                one_render(sc)
+                done += 1
+        except KeyboardInterrupt:
+            pass
     return 0
 
 
@@ -179,13 +249,25 @@ def cmd_optimize(args) -> int:
             "pass --resolution to match"
         )
     mesh = _parse_mesh(args.mesh)
+    # estimator flags mirror `render`: --mis implies --nee; both need
+    # emissive faces (the reference's optimize-analog is manual UI
+    # tweaking, so any estimator upgrade here is pure win)
+    mis = bool(getattr(args, "mis", False))
+    nee = bool(getattr(args, "nee", False)) or mis
+    lights = None
+    if nee:
+        lights = sc.light_pack()
+        if lights is None:
+            print("warning: --nee/--mis requested but scene has no emissive "
+                  "faces; disabled")
+            nee = mis = False
     optimizer = optax.adam(args.lr)
     init, step = make_train_step(
         sc.geometry, sc.material_params(), env, sc.camera_params(),
         optimizer,
         height=res, width=res, spp=args.spp, max_bounce=args.max_bounce,
         sun_enabled=float(env.sun_power) != 0.0,
-        mesh=mesh,
+        mesh=mesh, nee=nee, lights=lights, mis=mis,
     )
     every = max(1, args.iters // 20)
     params, opt_state, loss = run_optimization(
@@ -377,7 +459,14 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     r = sub.add_parser("render", help="path-trace a scene to PNG")
-    r.add_argument("scene")
+    r.add_argument("scene", nargs="?",
+                   help="scene .obj (default: scenePath from ./config.ini)")
+    r.add_argument("--watch", type=int, nargs="?", const=0, default=None,
+                   help="re-render when the scene ini changes, reusing the "
+                        "imported geometry (N = stop after N re-renders; "
+                        "no N = forever)")
+    r.add_argument("--watch-poll", type=float, default=0.5,
+                   dest="watch_poll", help="ini poll interval seconds")
     r.add_argument("--resolution", type=int)
     r.add_argument("--spp", type=int)
     r.add_argument("--max-bounce", type=int, dest="max_bounce")
@@ -415,6 +504,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--checkpoint", help="optimizer .npz checkpoint (resume if exists)")
     o.add_argument("--checkpoint-every", type=int, default=25, dest="checkpoint_every")
     o.add_argument("--mesh", help="(dp,sp) device mesh, e.g. 4,2 - or 'auto'")
+    o.add_argument("--nee", action="store_true",
+                   help="next-event estimation for the optimization renders")
+    o.add_argument("--mis", action="store_true",
+                   help="balance-heuristic BSDF+NEE combination (implies --nee)")
     o.set_defaults(fn=cmd_optimize)
 
     b = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

@@ -100,3 +100,44 @@ def test_progressive_equals_oneshot_statistically():
     )
     img_b = r3.render(16)
     np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_render_watch_rerenders_on_ini_change(scene_path, tmp_path, monkeypatch):
+    """--watch (the reference UI's edit -> render -> refresh loop,
+    UI.py:92-104): a config edit triggers a re-render without geometry
+    rebuild; src.png lands next to out.png (main.py:101-104); the cwd
+    config.ini remembers the scene (UI.py:57-61)."""
+    import threading
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "w" / "out.png")
+    result = {}
+
+    def run():
+        result["rc"] = main([
+            "render", scene_path, "--resolution", "16", "--spp", "2",
+            "--max-bounce", "1", "--out", out,
+            "--watch", "1", "--watch-poll", "0.1",
+        ])
+
+    t = threading.Thread(target=run)
+    t.start()
+    deadline = time.time() + 120
+    while not os.path.exists(out) and time.time() < deadline:
+        time.sleep(0.1)
+    assert os.path.exists(out), "first render never finished"
+    first_mtime = os.path.getmtime(out)
+    time.sleep(0.3)
+    # a real config edit (the UI round trip writes through setParameter)
+    ini = scene_path[:-len(".obj")] + ".ini"
+    from ensem3a_openclraytracer_tpu.scene.config import ConfigReader
+
+    ConfigReader(ini, material_count=0).setParameter("IBL_Power", "0.25")
+    t.join(timeout=120)
+    assert not t.is_alive(), "watch loop did not exit after 1 re-render"
+    assert result.get("rc") == 0
+    assert os.path.getmtime(out) > first_mtime, "no re-render happened"
+    assert os.path.exists(os.path.join(tmp_path, "w", "src.png"))
+    cfg = (tmp_path / "config.ini").read_text()
+    assert "scenePath=" in cfg and "scene.obj" in cfg
