@@ -299,6 +299,70 @@ def bench_big_scene_forward():
     )
 
 
+def bench_big_ibl():
+    """The reference's canonical environment is an 8k lat-long image
+    (/root/reference/main.py:68, 4096x8192 after RGBA decode;
+    MathLib.cl:84-90 samples it per escaped ray).  Prove that regime:
+    forward throughput with a 96M-texel map resident in HBM (escaped
+    rays take the XLA-gather bilinear path, ops/envmap.py), and the
+    texel-GRADIENT backward (bilinear scatter-add into the 4096x8192x3
+    array) through the replay engine."""
+    from ensem3a_openclraytracer_tpu.models.optimize import (
+        TrainableParams,
+        image_loss,
+        render_for_grad,
+    )
+    from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
+    from ensem3a_openclraytracer_tpu.scene.materials import default_sky
+    from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene
+
+    h, w = (64, 128) if CPU_SMOKE else (4096, 8192)
+    res = 32 if CPU_SMOKE else 256
+    spp = 2 if CPU_SMOKE else 16
+    mb = 4
+    geom, materials, env, camera = make_outdoor_scene(n_cubes=64, use_bvh=False)
+    env = env._replace(ibl=jnp.asarray(default_sky(h, w)))
+
+    fn = jax.jit(
+        functools.partial(
+            render_radiance,
+            height=res, width=res, spp=spp, max_bounce=mb, sun_enabled=True,
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    fn(geom, materials, env, camera, key)  # compile
+    dt = _time(fn, geom, materials, env, camera, jax.random.fold_in(key, 1),
+               runs=2)
+    _emit(
+        "bigibl8k_forward_mrays_per_s",
+        _rays(res, spp, mb, sun=True) / dt / 1e6,
+        "Mrays/s",
+    )
+
+    # texel gradients: value+grad of an image MSE w.r.t. ALL trainables
+    # incl. the 4096x8192x3 IBL (the scatter-add dominated regime)
+    gres, gspp = (16, 1) if CPU_SMOKE else (128, 4)
+    params = TrainableParams.from_scene_params(materials, env)
+    target = jnp.zeros((gres, gres, 3), jnp.float32)
+
+    def loss_fn(p, k):
+        img = render_for_grad(
+            p, geom, materials, env, camera, k,
+            height=gres, width=gres, spp=gspp, max_bounce=mb,
+            sun_enabled=True,
+        )
+        return image_loss(img, target)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    vg(params, key)  # compile
+    dt = _time(vg, params, jax.random.fold_in(key, 2), runs=2)
+    _emit(
+        "bigibl8k_texelgrad_mrays_per_s",
+        _rays(gres, gspp, mb, sun=True) / dt / 1e6,
+        "Mrays/s",
+    )
+
+
 def bench_nonlinear_grad_err():
     """Gradient accuracy through the NONLINEAR paths (VERDICT round 2:
     the sun_power metric is linear and proves plumbing only): max
@@ -450,6 +514,7 @@ def main():
     bench_nonlinear_grad_err()
     bench_reference_scenes()
     bench_big_scene_forward()
+    bench_big_ibl()
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ scan recorder; the fused recorder stays BSDF-only).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -608,6 +609,22 @@ def _chunk_divisor(spp: int, target: int) -> int:
     return c
 
 
+@functools.cache
+def _record_budget_bytes() -> int:
+    """Record-memory budget for auto spp-chunking: a quarter of the
+    default device's reported memory limit when the backend exposes one
+    (ADVICE round 3: the old fixed 3 GB ignored the actual HBM size),
+    3 GB otherwise."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit // 4
+    except Exception:
+        pass
+    return 3 << 30
+
+
 def radiance_for_rays_replay(
     geom: GeometryPack,
     materials: MaterialParams,
@@ -652,7 +669,9 @@ def radiance_for_rays_replay(
         else:
             # NEE records add light uniforms + visibility + distances
             per_sample = n_rays * (max_bounce + 1) * (36 if nee else 16)
-            spp_chunk = _chunk_divisor(spp, max(1, (3 << 30) // per_sample))
+            spp_chunk = _chunk_divisor(
+                spp, max(1, _record_budget_bytes() // per_sample)
+            )
     else:
         spp_chunk = _chunk_divisor(spp, spp_chunk)
 
@@ -672,10 +691,33 @@ def radiance_for_rays_replay(
     if spp_chunk >= spp:
         return run(key, uniforms, light_uniforms, spp)
 
+    n_chunks = spp // spp_chunk
+    keys = jax.random.split(key, n_chunks)
+    if uniforms is not None:
+        # explicit streams chunk WITH the samples (ADVICE round 3: they
+        # were silently dropped under spp-chunking before)
+        u_c = uniforms.reshape(n_chunks, spp_chunk, *uniforms.shape[1:])
+        lu_c = (
+            light_uniforms.reshape(
+                n_chunks, spp_chunk, *light_uniforms.shape[1:]
+            )
+            if light_uniforms is not None
+            else jnp.zeros((n_chunks,) + (0,), jnp.float32)
+        )
+        chunk_fn = jax.checkpoint(
+            lambda k, u, lu: run(
+                k, u, lu if light_uniforms is not None else None, spp_chunk
+            ) * spp_chunk
+        )
+        acc, _ = jax.lax.scan(
+            lambda a, x: (a + chunk_fn(*x), None),
+            jnp.zeros_like(ray_d),
+            (keys, u_c, lu_c),
+        )
+        return acc / spp
     chunk_fn = jax.checkpoint(
         lambda k: run(k, None, None, spp_chunk) * spp_chunk
     )
-    keys = jax.random.split(key, spp // spp_chunk)
     acc, _ = jax.lax.scan(
         lambda a, k: (a + chunk_fn(k), None),
         jnp.zeros_like(ray_d),
