@@ -264,7 +264,7 @@ def bench_big_scene_forward():
     """>65k-triangle workload (the reference's whole scaling story is
     that its BVH works at any size, MathLib.cl:234-288): a 150k-triangle
     procedural outdoor scene through the HBM-streamed pair-compaction
-    engine (ops/compact.py)."""
+    engine (ops/pairs.py, trace_pairs_streamed)."""
     from ensem3a_openclraytracer_tpu.models.pathtracer import render_radiance
     from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene
 

@@ -58,8 +58,10 @@ from ensem3a_openclraytracer_tpu.ops.camera import camera_rays
 from ensem3a_openclraytracer_tpu.ops.envmap import sample_ibl, sun_direction
 from ensem3a_openclraytracer_tpu.ops.gathers import gather_rows
 from ensem3a_openclraytracer_tpu.ops import fused as fused_ops
-from ensem3a_openclraytracer_tpu.ops.pairs import trace_pairs
-from ensem3a_openclraytracer_tpu.ops.compact import trace_compact
+from ensem3a_openclraytracer_tpu.ops.pairs import (
+    trace_pairs,
+    trace_pairs_streamed,
+)
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit, trace_bruteforce
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import trace_mxu, trace_mxu_pallas
 from ensem3a_openclraytracer_tpu.ops.traversal import trace_bvh
@@ -127,10 +129,10 @@ def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
     """Closest-hit dispatch on the MXU matmul engines when the pack
     carries triangle features: single-block scenes on the VMEM-resident
     kernel; multi-block scenes up to the bf16-comb cap (64 blocks) on
-    the flat tile-pair engine (ops/pairs.py); up to 256 blocks on the
-    resident multi-block kernel; beyond that on the HBM-streamed
-    pair-compaction engine (ops/compact.py) - any scene size, like the
-    reference's stack walk (MathLib.cl:234-288).  LBVH traversal when
+    the flat tile-pair engine (ops/pairs.py); beyond that on its
+    HBM-streamed twin (double-buffered block DMA) - any scene size,
+    like the reference's stack walk (MathLib.cl:234-288).  LBVH
+    traversal when
     the pack carries only a tree, tiled Moller-Trumbore otherwise.
     Visibility is non-differentiable by design; inputs are detached so
     no AD path enters the trace.  All multi-block engines want coherent
@@ -149,10 +151,10 @@ def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
             o_s, d_s = ray_o[order], ray_d[order]
             if feats.comb is not None and feats.comb.dtype == jnp.bfloat16:
                 h = trace_pairs(feats, o_s, d_s)
-            elif n_blocks <= _RESIDENT_MAX_BLOCKS:
-                h = trace_mxu_pallas(feats, o_s, d_s)
+            elif feats.comb is not None:
+                h = trace_pairs_streamed(feats, o_s, d_s)
             else:
-                h = trace_compact(feats, o_s, d_s)
+                h = trace_mxu_pallas(feats, o_s, d_s)
             h = refine_hit_t(feats, o_s, d_s, h)
             unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
             return Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))

@@ -83,9 +83,9 @@ class TriFeatures(NamedTuple):
     normal_d: jnp.ndarray  # [3, Tp] float32 (n, for the denominator matmul)
     block_bounds: jnp.ndarray  # [B, 8] AABB per TRI_TILE block (+2 pad cols)
     num_tris: int
-    # [B, 39, 5*TT] merged per-block operand for the pair-queue engine
+    # [B, 40, 5*TT] merged per-block operand for the pair-queue engine
     # (ops/pairs.py): rows 0-17 the split-bf16 edge lhs, rows 18-38 the
-    # split num/den table; bf16 when B <= COMB_BF16_MAX_BLOCKS (whole
+    # split num/den table, row 39 zero pad; bf16 when B <= COMB_BF16_MAX_BLOCKS (whole
     # array VMEM-resident in the kernel), f32 otherwise (HBM-streamed
     # per block).  Precomputed HOST-SIDE on purpose: building this
     # transpose/concat chain inside the same jit as the pallas call is
@@ -197,7 +197,7 @@ COMB_BF16_MAX_BLOCKS = 64
 def _build_comb_np(edges_c: np.ndarray, plane_c: np.ndarray,
                    normal_d: np.ndarray) -> np.ndarray:
     """Host-side (numpy) build of :attr:`TriFeatures.comb` - the
-    numpy mirror of ops.compact.build_comb_blocks + the bf16 downcast
+    host-side comb build (+ bf16 downcast
     for resident-scale scenes.  The bf16 copy reproduces the f32 MXU
     result exactly: hi rows are bf16-representable by construction and
     lo rows only lose sub-2^-16-relative residue the MXU drops anyway."""
@@ -228,7 +228,11 @@ def _build_comb_np(edges_c: np.ndarray, plane_c: np.ndarray,
     p9 = pnd.reshape(21, nb, 2 * tt).transpose(1, 0, 2)
     top = np.concatenate([e, np.zeros((nb, 18, 2 * tt), f32)], axis=2)
     bot = np.concatenate([np.zeros((nb, 21, 3 * tt), f32), p9], axis=2)
-    comb = np.concatenate([top, bot], axis=1)  # [nb, 39, 5tt]
+    comb = np.concatenate(
+        [top, bot, np.zeros((nb, 1, 5 * tt), f32)], axis=1
+    )  # [nb, 40, 5tt]: row 39 is zero padding - the streamed engine
+    #    DMAs whole blocks, and Mosaic requires the sliced sublane dim
+    #    to be 8-aligned (40 = 5 x 8)
     if nb <= COMB_BF16_MAX_BLOCKS:
         comb = comb.astype(ml_dtypes.bfloat16)
     return comb

@@ -97,7 +97,7 @@ def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
     ascending within a tile's segment, so the loop stops as soon as
     every lane's best hit is closer than the next block's entry - the
     per-tile early termination the round-4 engine lacked (VERDICT
-    round 5 item 4).  ``comb_ref`` is the whole [B, 39, 5TT] bf16
+    round 5 item 4).  ``comb_ref`` is the whole [B, 40, 5TT] bf16
     operand, VMEM-resident."""
     g = pl.program_id(0)
     k0 = start_r[g]
@@ -116,8 +116,9 @@ def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
         )
         q4c = jnp.concatenate([oc, jnp.ones_like(oc[0:1])], axis=0)
         rhs = jnp.concatenate(
-            [build_edge_rhs(d, oc), build_nd_rhs(q4c, d)], axis=0
-        )  # [39, R] f32
+            [build_edge_rhs(d, oc), build_nd_rhs(q4c, d),
+             jnp.zeros((1, r), jnp.float32)], axis=0
+        )  # [40, R] f32 (row 39 pairs with the comb zero pad)
         comb_j = comb_ref[j]
         out = lax.dot_general(
             comb_j, rhs.astype(comb_j.dtype), (((0,), (0,)), ((), ())),
@@ -158,19 +159,13 @@ def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
     blk_ref[:] = blk
 
 
-def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
-    n = ray_o.shape[0]
-    nb = comb.shape[0]
-    tri_tile = comb.shape[-1] // 5
+def _build_schedule(block_bounds, ray_o, ray_d, npd, nb):
+    """Flat tile-pair schedule for ``npd`` (padded) rays vs ``nb``
+    blocks: ``(start [G+1], pair_blk [S], pair_ent [S])`` with each
+    tile's segment front-to-back by slab entry distance (see the module
+    docstring).  ``S = G * B`` bounds the pair count - the schedule can
+    never overflow."""
     RT = RAY_TILE
-    block_bounds = feats.block_bounds
-
-    n_pad = (-n) % RT
-    if n_pad:
-        # padded rays: zero direction -> den 0 -> miss
-        ray_o = jnp.pad(ray_o, ((0, n_pad), (0, 0)))
-        ray_d = jnp.pad(ray_d, ((0, n_pad), (0, 0)))
-    npd = n + n_pad
     g = npd // RT
     s_max = g * nb
 
@@ -216,6 +211,26 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
         jnp.zeros(s_max, jnp.float32)
         .at[slot.reshape(-1)]
         .set(ent_sorted.reshape(-1), mode="drop", unique_indices=True)
+    )
+    return start, pair_blk, pair_ent
+
+
+def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
+    n = ray_o.shape[0]
+    nb = comb.shape[0]
+    tri_tile = comb.shape[-1] // 5
+    RT = RAY_TILE
+    block_bounds = feats.block_bounds
+
+    n_pad = (-n) % RT
+    if n_pad:
+        # padded rays: zero direction -> den 0 -> miss
+        ray_o = jnp.pad(ray_o, ((0, n_pad), (0, 0)))
+        ray_d = jnp.pad(ray_d, ((0, n_pad), (0, 0)))
+    npd = n + n_pad
+    g = npd // RT
+    start, pair_blk, pair_ent = _build_schedule(
+        block_bounds, ray_o, ray_d, npd, nb
     )
 
     # rays in [rows, lanes] operand layout, tiles = contiguous slices
@@ -269,6 +284,207 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
         tri=jnp.where(hitm, tri, 0),
         hit=hitm,
     )
+
+
+def _tile_stream_kernel(start_r, pair_blk_r, pair_ent_r, comb_hbm,
+                        blocks_ref, o_ref, d_ref, key_ref, blk_ref,
+                        *, tri_tile):
+    """HBM-streamed twin of :func:`_tile_loop_kernel`: one RAY TILE per
+    grid step, fori-loop over the tile's entry-sorted blocks with the
+    block operand double-buffer-DMA'd from HBM (scene size unbounded -
+    the any-size traversal the reference's stack walk provides,
+    MathLib.cl:234-288).  Early termination gates the COMPUTE only (the
+    in-flight DMA is always awaited, keeping semaphores balanced)."""
+    g = pl.program_id(0)
+    k0 = start_r[g]
+    k1 = start_r[g + 1]
+    o = o_ref[:]
+    d = d_ref[:]
+    r = o.shape[-1]
+    row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
+    key_ref[:] = jnp.full((1, r), _MAXKEY, jnp.int32)
+    blk_ref[:] = jnp.zeros((1, r), jnp.int32)
+    s_cap = pair_ent_r.shape[0] - 1
+
+    def scoped(scratch, sems):
+        def get_dma(slot, k):
+            return pltpu.make_async_copy(
+                comb_hbm.at[pair_blk_r[k]], scratch.at[slot], sems.at[slot]
+            )
+
+        @pl.when(k0 < k1)
+        def _():
+            get_dma(0, k0).start()
+
+        def body(i, _):
+            k = k0 + i
+            slot = lax.rem(i, 2)
+
+            @pl.when(k + 1 < k1)
+            def _():
+                get_dma(lax.rem(i + 1, 2), k + 1).start()
+
+            get_dma(slot, k).wait()
+
+            # compute gate: entries ascend within the segment, so once
+            # every lane's best hit is closer than this entry nothing
+            # later in the tile can win - skip the math, ride the DMAs
+            best_key = key_ref[:]
+            best_t = pltpu.bitcast(
+                best_key & jnp.int32(~0xFF), jnp.float32
+            )
+            live = jnp.max(best_t) >= pair_ent_r[jnp.minimum(k, s_cap)]
+
+            @pl.when(live)
+            def _():
+                j = pair_blk_r[k]
+                c = block_centroid(blocks_ref, j)
+                oc = jnp.concatenate(
+                    [o[a : a + 1] - c[a] for a in range(3)], axis=0
+                )
+                q4c = jnp.concatenate([oc, jnp.ones_like(oc[0:1])], axis=0)
+                rhs = jnp.concatenate(
+                    [build_edge_rhs(d, oc), build_nd_rhs(q4c, d),
+                     jnp.zeros((1, r), jnp.float32)], axis=0
+                )  # [40, R] f32 (row 39 pairs with the comb zero pad)
+                comb_j = scratch[slot]
+                out = lax.dot_general(
+                    comb_j, rhs.astype(comb_j.dtype),
+                    (((0,), (0,)), ((), ())),
+                    precision=lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )  # [5TT, R]
+                w1 = out[0:tri_tile]
+                w2 = out[tri_tile : 2 * tri_tile]
+                w3 = out[2 * tri_tile : 3 * tri_tile]
+                num = out[3 * tri_tile : 4 * tri_tile]
+                den = out[4 * tri_tile : 5 * tri_tile]
+                wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
+                wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
+                inside = (wmin >= 0) | (wmax <= 0)
+                t = num / jnp.where(den == 0.0, 1.0, den)
+                eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
+                valid = inside & (den != 0.0) & (t > eps)
+                t = jnp.where(valid, t, MAX_DIST)
+                key_j = (
+                    pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)
+                ) | row_idx
+                kmin = jnp.min(key_j, axis=0, keepdims=True)  # [1, R]
+                better = kmin < key_ref[:]
+                blk_ref[:] = jnp.where(better, j, blk_ref[:])
+                key_ref[:] = jnp.where(better, kmin, key_ref[:])
+
+        lax.fori_loop(0, k1 - k0, body, None)
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((2, 40, 5 * tri_tile), comb_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _trace_stream_chunk(feats, comb, ray_o, ray_d, interpret):
+    n = ray_o.shape[0]
+    nb = comb.shape[0]
+    tri_tile = comb.shape[-1] // 5
+    RT = RAY_TILE
+    block_bounds = feats.block_bounds
+
+    n_pad = (-n) % RT
+    if n_pad:
+        ray_o = jnp.pad(ray_o, ((0, n_pad), (0, 0)))
+        ray_d = jnp.pad(ray_d, ((0, n_pad), (0, 0)))
+    npd = n + n_pad
+    g = npd // RT
+    start, pair_blk, pair_ent = _build_schedule(
+        block_bounds, ray_o, ray_d, npd, nb
+    )
+
+    o4 = jnp.concatenate(
+        [ray_o, jnp.ones((npd, 1), jnp.float32)], axis=-1
+    ).T  # [4, Npd]
+    d3 = ray_d.T  # [3, Npd]
+
+    start, pair_blk, pair_ent, o4, d3 = lax.optimization_barrier(
+        (start, pair_blk, pair_ent, o4, d3)
+    )
+
+    kernel = functools.partial(_tile_stream_kernel, tri_tile=tri_tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # start, pair_blk, pair_ent
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # comb stays in HBM
+            pl.BlockSpec(block_bounds.shape, lambda s, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, RT), lambda s, *_: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, RT), lambda s, *_: (0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RT), lambda s, *_: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT), lambda s, *_: (0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    keys, blks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, npd), jnp.int32),
+            jax.ShapeDtypeStruct((1, npd), jnp.int32),
+        ),
+        interpret=interpret,
+    )(start, pair_blk, pair_ent, comb, block_bounds, o4, d3)
+
+    key = keys[0][:n]
+    blk = blks[0][:n]
+    t = lax.bitcast_convert_type(key & jnp.int32(~0xFF), jnp.float32)
+    tri = blk * tri_tile + (key & jnp.int32(0xFF))
+    hitm = t < MAX_DIST * 0.999
+    return Hit(
+        t=jnp.where(hitm, t, MAX_DIST),
+        tri=jnp.where(hitm, tri, 0),
+        hit=hitm,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_pairs_streamed(
+    feats: TriFeatures, ray_o, ray_d, *, interpret: bool = False
+) -> Hit:
+    """Closest hit of ``[N]`` rays via the HBM-streamed tile-pair
+    engine - any scene size (the block operand never has to fit VMEM).
+    Equivalent to :func:`ops.intersect_mxu.trace_mxu` up to the packed
+    key's low-byte truncation and split-bf16 residuals."""
+    comb = feats.comb
+    if comb is None:
+        raise ValueError(
+            "trace_pairs_streamed needs TriFeatures.comb (host-side "
+            "precompute; see trace_pairs)"
+        )
+    n = ray_o.shape[0]
+    nb = comb.shape[0]
+    # three SMEM pair tables now; keep them ~150 KB each
+    chunk = min(MAX_RAYS_PER_CALL, max(RAY_TILE, (32768 // nb) * RAY_TILE))
+    if n > chunk:
+        parts = [
+            _trace_stream_chunk(
+                feats, comb,
+                ray_o[i : i + chunk],
+                ray_d[i : i + chunk],
+                interpret,
+            )
+            for i in range(0, n, chunk)
+        ]
+        return Hit(
+            t=jnp.concatenate([h.t for h in parts]),
+            tri=jnp.concatenate([h.tri for h in parts]),
+            hit=jnp.concatenate([h.hit for h in parts]),
+        )
+    return _trace_stream_chunk(feats, comb, ray_o, ray_d, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

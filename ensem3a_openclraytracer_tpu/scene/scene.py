@@ -146,9 +146,9 @@ def pack_geometry(mesh: ObjMesh, use_bvh: Optional[bool] = None) -> GeometryPack
         bvh = BVHNodes(*(jnp.asarray(a) for a in nodes))
     if not use_bvh or auto_big:
         # MXU features at any size: the VMEM-resident engine under
-        # MXU_TRACE_MAX_TRIS, the HBM-streamed pair-compaction engine
-        # (ops/compact.py) above it.  Auto-detected big scenes carry
-        # BOTH structures: TPU traces through the compact engine, CPU
+        # MXU_TRACE_MAX_TRIS, the HBM-streamed tile-pair engine
+        # (ops/pairs.py, trace_pairs_streamed) above it.  Auto-detected
+        # big scenes carry BOTH structures: TPU streams blocks, CPU
         # through the LBVH (pathtracer.trace dispatch).
         feats = build_tri_features(v0, v1, v2)
 

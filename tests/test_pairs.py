@@ -14,7 +14,7 @@ from ensem3a_openclraytracer_tpu.testing import make_outdoor_scene
 
 def _bounce_rays(geom, n, seed):
     """Surface-origin rays with random directions - the incoherent
-    bounce-ray regime (same construction as tests/test_compact.py)."""
+    bounce-ray regime (surface origins, random directions)."""
     rng = np.random.default_rng(seed)
     v0 = np.asarray(geom.v0)
     v1 = np.asarray(geom.v1)
@@ -30,18 +30,23 @@ def _bounce_rays(geom, n, seed):
             jnp.asarray(d, jnp.float32))
 
 
-def _assert_hits_match(got, ref):
+def _assert_hits_match(got, ref, scene_diag=115.0):
+    """The split-bf16 engines carry an ABSOLUTE t-error band of
+    ~2^-16 x scene extent on top of ~1e-4 relative (packed-key
+    truncation); allow both, bound the violating fraction."""
     hg, hr = np.asarray(got.hit), np.asarray(ref.hit)
     assert (hg != hr).mean() < 0.01
     both = hg & hr
     tg, tr = np.asarray(got.t)[both], np.asarray(ref.t)[both]
-    rel = np.abs(tg - tr) / np.maximum(np.abs(tr), 1e-9)
+    err = np.abs(tg - tr)
+    rel = err / np.maximum(np.abs(tr), 1e-9)
     assert np.percentile(rel, 50) < 1e-4, np.percentile(rel, 50)
-    assert np.percentile(rel, 99) < 5e-3, np.percentile(rel, 99)
+    allow = 5e-3 * np.abs(tr) + 2.0 ** -15 * scene_diag
+    assert (err > allow).mean() < 0.01, (err / allow).max()
     # a differing triangle at matching t is an edge tie (either pick is
     # a legitimate closest hit); different tri at different t is a miss
     tri_diff = (np.asarray(got.tri)[both] != np.asarray(ref.tri)[both])
-    real_miss = tri_diff & (rel > 1e-3)
+    real_miss = tri_diff & (err > allow)
     assert real_miss.mean() < 0.01, (tri_diff.mean(), real_miss.mean())
 
 
@@ -90,3 +95,20 @@ def test_pairs_chunking():
     np.testing.assert_array_equal(np.asarray(whole.hit), np.asarray(chunked.hit))
     np.testing.assert_array_equal(np.asarray(whole.tri), np.asarray(chunked.tri))
     np.testing.assert_allclose(np.asarray(whole.t), np.asarray(chunked.t))
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "f32"])
+def test_pairs_streamed_matches_exact_trace(dtype):
+    """HBM-streamed variant (double-buffered DMA, any scene size):
+    parity with the exact trace in interpret mode, in both comb dtypes
+    (bf16 = resident-scale scenes, f32 = the >64-block regime)."""
+    from ensem3a_openclraytracer_tpu.ops.pairs import trace_pairs_streamed
+
+    geom, m, e, c = make_outdoor_scene(n_cubes=64, use_bvh=False)
+    feats = geom.feats
+    if dtype == "f32":
+        feats = feats._replace(comb=feats.comb.astype(jnp.float32))
+    o, d = _bounce_rays(geom, 700, seed=11)
+    got = trace_pairs_streamed(feats, o, d, interpret=True)
+    ref = trace_mxu(geom.feats, o, d)
+    _assert_hits_match(got, ref)
