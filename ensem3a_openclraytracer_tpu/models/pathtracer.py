@@ -164,6 +164,19 @@ def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
     return trace_bruteforce(geom.v0, geom.v1, geom.v2, ray_o, ray_d)
 
 
+class _Escape(NamedTuple):
+    """Per-lane escape record: a path leaves the scene at most once, so
+    the sun shadow trace + IBL lookup settle ONCE per sample after the
+    bounce scan instead of per bounce (the replay engine's trick,
+    models/replay.py)."""
+
+    escaped: jnp.ndarray  # [N] bool
+    p: jnp.ndarray  # [N, 3] escape vertex (shadow-ray origin)
+    dir: jnp.ndarray  # [N, 3] escape direction (IBL lookup)
+    thr: jnp.ndarray  # [N, 3] throughput at escape
+    glass: jnp.ndarray  # [N] bool: escape vertex was glass (sun gate)
+
+
 class _Surface(NamedTuple):
     """Per-lane shading state at the current path vertex."""
 
@@ -431,7 +444,7 @@ def radiance_for_rays(
         return jnp.where(ok[:, None], contrib, 0.0), sampled
 
     def bounce_step(carry, xs):
-        live, thr, rad, in_dir, surf, emis_w = carry
+        live, thr, rad, in_dir, surf, emis_w, esc = carry
         j, u, ul = xs
         u1, u2 = u[:, 0], u[:, 1]
 
@@ -471,29 +484,20 @@ def radiance_for_rays(
         bounce_hit = trace(geom, surf.p, bdir)
         miss = live & ~bounce_hit.hit
 
-        # escaped: sun (shadow-ray gated) + IBL (Raytracing.cl:115-136)
-        env_light = env_radiance(bdir)
-        if sun_enabled:
-            sun_hit = trace(geom, surf.p, sun_dir)
-            sun_midx = gather_rows(geom.mat[:, None], sun_hit.tri)[:, 0]
-            srows = gather_rows(
-                jnp.concatenate(
-                    [materials.mtype.astype(jnp.float32)[:, None], materials.color],
-                    axis=1,
-                ),
-                sun_midx,
-            )
-            sun_mtype = jnp.round(srows[:, 0]).astype(jnp.int32)
-            sun_color = srows[:, 1:4]
-            unoccluded = (~sun_hit.hit) & (surf.mtype != GLASS)
-            glass_occluded = sun_hit.hit & (sun_mtype == GLASS)
-            sun_light = (
-                unoccluded[:, None].astype(jnp.float32) * env.sun_power
-                + glass_occluded[:, None].astype(jnp.float32) * sun_color * env.sun_power
-            )
-        else:
-            sun_light = jnp.zeros_like(env_light)
-        rad = rad + jnp.where(miss[:, None], thr * (sun_light + env_light), 0.0)
+        # escaped: record the escape vertex instead of paying the sun
+        # shadow trace + IBL lookup per bounce - a path escapes at most
+        # ONCE, so one_sample settles sun + IBL in a single batched pass
+        # after the scan (the replay engine's escape-record trick; 5x
+        # fewer shadow traces at max_bounce 4).  Same estimator as
+        # Raytracing.cl:115-136, different accumulation point.
+        mm = miss[:, None]
+        esc = esc._replace(
+            escaped=esc.escaped | miss,
+            p=jnp.where(mm, surf.p, esc.p),
+            dir=jnp.where(mm, bdir, esc.dir),
+            thr=jnp.where(mm, thr, esc.thr),
+            glass=jnp.where(miss, surf.mtype == GLASS, esc.glass),
+        )
         live = live & bounce_hit.hit
 
         # advance the path for lanes that hit something solid
@@ -529,7 +533,7 @@ def radiance_for_rays(
             ior=jnp.where(live, new_surf.ior, surf.ior),
         )
         in_dir = jnp.where(lm, bdir, in_dir)
-        return (live, thr, rad, in_dir, surf, emis_w), None
+        return (live, thr, rad, in_dir, surf, emis_w, esc), None
 
     # Threefry everywhere: the TPU hardware-PRNG kernel (ops/rng.py) is
     # ~2x cheaper in isolation but a per-sample pallas_call serializes
@@ -562,9 +566,49 @@ def radiance_for_rays(
             ray_d,
             primary_surf,
             jnp.ones_like(primary_hit.t),  # emis_w
+            _Escape(
+                escaped=jnp.zeros_like(primary_hit.hit),
+                p=jnp.zeros_like(ray_d),
+                # unit init: sample_ibl normalizes, 0-vectors would NaN
+                # (masked NaN still poisons the where-select gradient)
+                dir=jnp.zeros_like(ray_d) + jnp.array([0.0, 0.0, 1.0]),
+                thr=jnp.zeros_like(ray_d),
+                glass=jnp.zeros_like(primary_hit.hit),
+            ),
         )
         xs = (np.arange(max_bounce + 1), us, uls)
-        (live, thr, rad, _, surf, emis_w), _ = jax.lax.scan(bounce_step, carry0, xs)
+        (live, thr, rad, _, surf, emis_w, esc), _ = jax.lax.scan(
+            bounce_step, carry0, xs
+        )
+        # settle every escape at once: one sun shadow trace + one IBL
+        # lookup per SAMPLE instead of per bounce (paths escape at most
+        # once; Raytracing.cl:115-136 semantics preserved)
+        env_light = env_radiance(esc.dir)
+        if sun_enabled:
+            sun_hit = trace(geom, esc.p, sun_dir)
+            sun_midx = gather_rows(geom.mat[:, None], sun_hit.tri)[:, 0]
+            srows = gather_rows(
+                jnp.concatenate(
+                    [materials.mtype.astype(jnp.float32)[:, None],
+                     materials.color],
+                    axis=1,
+                ),
+                sun_midx,
+            )
+            sun_mtype = jnp.round(srows[:, 0]).astype(jnp.int32)
+            sun_color = srows[:, 1:4]
+            unoccluded = (~sun_hit.hit) & ~esc.glass
+            glass_occluded = sun_hit.hit & (sun_mtype == GLASS)
+            sun_light = (
+                unoccluded[:, None].astype(jnp.float32) * env.sun_power
+                + glass_occluded[:, None].astype(jnp.float32)
+                * sun_color * env.sun_power
+            )
+        else:
+            sun_light = jnp.zeros_like(env_light)
+        rad = rad + jnp.where(
+            esc.escaped[:, None], esc.thr * (sun_light + env_light), 0.0
+        )
         # final terminal check: a path whose last bounce landed on a light
         # still contributes; anything else live contributes 0
         # (the reference's max-bounce nullification, Raytracing.cl:99-109)
