@@ -77,6 +77,16 @@ from ensem3a_openclraytracer_tpu.ops.intersect_mxu import (
     build_nd_rhs,
 )
 
+def _refined_recip(den):
+    """1/den via the VPU's approximate reciprocal + one Newton step
+    (~2^-16 relative - beyond the packed key's 15 retained mantissa
+    bits) - measurably cheaper than the lowered f32 divide in the
+    epilogue, which is this kernel's hot loop.  den == 0 yields inf
+    with the right sign semantics for the callers' (t > eps) guard."""
+    r0 = pl.reciprocal(den, approx=True)
+    return r0 * (2.0 - den * r0)
+
+
 # rays per tile: the culling granularity AND the kernel step width.
 # Smaller tiles cull tighter (union ~20.5 blocks at 256 vs ~25 at 512
 # on Monkey bounce rays) at more per-step overhead.
@@ -133,10 +143,12 @@ def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
         wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
         wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
         inside = (wmin >= 0) | (wmax <= 0)
-        t = num / jnp.where(den == 0.0, 1.0, den)
-        # scale-aware self-hit epsilon (block_bounds col 6)
+        t = num * _refined_recip(den)
+        # scale-aware self-hit epsilon (block_bounds col 6).  den == 0
+        # needs no separate test: the reciprocal sends t to +-inf/nan,
+        # and (t > eps) rejects -inf/nan while +inf keys above MAXKEY.
         eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
-        valid = inside & (den != 0.0) & (t > eps)
+        valid = inside & (t > eps)
         t = jnp.where(valid, t, MAX_DIST)
         key_j = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
         kmin = jnp.min(key_j, axis=0, keepdims=True)  # [1, R]
@@ -362,9 +374,9 @@ def _tile_stream_kernel(start_r, pair_blk_r, pair_ent_r, comb_hbm,
                 wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
                 wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
                 inside = (wmin >= 0) | (wmax <= 0)
-                t = num / jnp.where(den == 0.0, 1.0, den)
+                t = num * _refined_recip(den)
                 eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
-                valid = inside & (den != 0.0) & (t > eps)
+                valid = inside & (t > eps)
                 t = jnp.where(valid, t, MAX_DIST)
                 key_j = (
                     pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)
