@@ -429,7 +429,10 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
             if use_prng:
                 u = _u01((n_u, r))
             else:
-                u = u_ref[pl.ds(n_u * bounce_j, n_u)]
+                # bounce on the leading axis of the 3D ref (see the
+                # operand builder): dynamic leading-axis indexing is the
+                # layout Mosaic handles correctly on this toolchain
+                u = u_ref[bounce_j][:n_u]
             u1, u2 = u[0:1], u[1:2]
             if nee:
                 u3, u4, u5 = u[2:3], u[3:4], u[4:5]
@@ -804,11 +807,22 @@ def sample_fused(
         # scalar-prefetch operand: insert after (seeds, env_scalars)
         operands.insert(2, perm)
     if not use_prng:
-        # [mb+1, N, n_u] -> [(mb+1)*n_u, Np] (uniforms interleaved/bounce)
+        # [mb+1, N, n_u] -> [mb+1, 8, Np]: 3D with the bounce on the
+        # LEADING axis so the rolled loop indexes u_ref[bounce_j] like
+        # the streamed engine indexes its comb blocks - dynamic sublane
+        # slicing (the old 2D layout) miscompiles on this toolchain
+        # (wrong values on hardware, exact in interpret mode)
         n_u = 5 if nee else 2
         u = jnp.pad(uniforms, ((0, 0), (0, pad), (0, 0)))
-        u = u.transpose(0, 2, 1).reshape((max_bounce + 1) * n_u, n_pad)
-        in_specs.append(ray_spec((max_bounce + 1) * n_u))
+        u = u.transpose(0, 2, 1)  # [mb+1, n_u, Np]
+        u = jnp.pad(u, ((0, 0), (0, 8 - n_u), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec(
+                (max_bounce + 1, 8, ray_tile),
+                lambda i, *_: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
         operands.append(u)
     out_specs = [ray_spec(3), ray_spec(3), ray_spec(3)]
     out_shape = [
