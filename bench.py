@@ -427,6 +427,14 @@ def bench_nonlinear_grad_err():
 
     (img_t * torch.as_tensor(mask3, dtype=img_t.dtype)).sum().backward()
 
+    # honesty metric (ADVICE round 3): how much of the frame the
+    # path-identical mask keeps - a mask that silently discarded most
+    # pixels would make the gradient numbers meaningless
+    _emit(
+        "cornell_grad_masked_fraction",
+        float(1.0 - mask_np.mean()),
+        "fraction-excluded",
+    )
     for name, metric, g_jax in (
         ("color", "cornell_grad_albedo_max_abs_err", g_color),
         ("roughness", "cornell_grad_roughness_max_abs_err", g_rough),

@@ -339,7 +339,10 @@ def cmd_bench_scaling(args) -> int:
     from ensem3a_openclraytracer_tpu.utils.profiling import rays_per_render
 
     geom, materials, env, camera = make_cornell_scene(use_bvh=False)
-    res, spp, mb = args.resolution or 128, args.spp or 16, 4
+    # default 120^2: divisible by 1..6 and 8, so the device-count sweep
+    # includes NON-power-of-two counts (ADVICE round 3: a po2-only sweep
+    # can hide sharding bugs that only appear at odd splits)
+    res, spp, mb = args.resolution or 120, args.spp or 16, 4
     devices = jax.devices()
     n = len(devices)
     key = jax.random.PRNGKey(0)
@@ -368,7 +371,7 @@ def cmd_bench_scaling(args) -> int:
         return rays_per_render(res, spp, mb, False) / dt / 1e6
 
     # part 1: device-count scaling (dp only), efficiency vs linear
-    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n and res % c == 0]
+    counts = [c for c in range(1, min(n, 32) + 1) if res % c == 0]
     rate1 = None
     for c in counts:
         mesh = make_mesh(devices[:c], sp=1)

@@ -513,6 +513,14 @@ def trace_pairs(
             "build_tri_features; in-graph construction is miscompiled "
             "on TPU - see the module docstring)"
         )
+    if comb.dtype != jnp.bfloat16:
+        # an f32 comb (> COMB_BF16_MAX_BLOCKS blocks) would make a
+        # multi-tens-of-MB operand VMEM-resident (ADVICE round 4)
+        raise ValueError(
+            "trace_pairs keeps the whole comb operand VMEM-resident and "
+            "requires the bf16 copy; use trace_pairs_streamed for f32 "
+            "(>64-block) scenes"
+        )
     n = ray_o.shape[0]
     # chunk so the [S_max = G*B] SMEM pair tables stay <= ~200 KB each
     nb = comb.shape[0]
