@@ -40,6 +40,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ensem3a_openclraytracer_tpu.ops.bsdf import (
     EMISSIVE,
@@ -140,13 +141,18 @@ def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
     and the hits scattered back."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
+    _name = lambda h: Hit(
+        t=checkpoint_name(h.t, "trace_out"),
+        tri=checkpoint_name(h.tri, "trace_out"),
+        hit=checkpoint_name(h.hit, "trace_out"),
+    )
     if geom.feats is not None and (_on_tpu() or geom.bvh is None):
         feats = geom.feats
         n_blocks = feats.block_bounds.shape[0]
         if _on_tpu():
             if n_blocks == 1:
                 h = trace_mxu_pallas(feats, ray_o, ray_d)
-                return refine_hit_t(feats, ray_o, ray_d, h)
+                return _name(refine_hit_t(feats, ray_o, ray_d, h))
             order = fused_ops.coherent_order(ray_o, ray_d)
             o_s, d_s = ray_o[order], ray_d[order]
             if feats.comb is not None and feats.comb.dtype == jnp.bfloat16:
@@ -157,11 +163,15 @@ def trace(geom: GeometryPack, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> Hit:
                 h = trace_mxu_pallas(feats, o_s, d_s)
             h = refine_hit_t(feats, o_s, d_s, h)
             unsort = lambda x: jnp.zeros_like(x).at[order].set(x)
-            return Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))
-        return trace_mxu(geom.feats, ray_o, ray_d)
+            return _name(
+                Hit(t=unsort(h.t), tri=unsort(h.tri), hit=unsort(h.hit))
+            )
+        return _name(trace_mxu(geom.feats, ray_o, ray_d))
     if geom.bvh is not None:
-        return trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
-    return trace_bruteforce(geom.v0, geom.v1, geom.v2, ray_o, ray_d)
+        return _name(
+            trace_bvh(geom.bvh, geom.v0, geom.v1, geom.v2, ray_o, ray_d)
+        )
+    return _name(trace_bruteforce(geom.v0, geom.v1, geom.v2, ray_o, ray_d))
 
 
 class _Escape(NamedTuple):
@@ -618,7 +628,18 @@ def radiance_for_rays(
         )
         return rad
 
-    one_sample = jax.checkpoint(one_sample, static_argnums=())
+    # rematerialize the sample under backward - but SAVE the trace
+    # outputs: the recomputed forward's f32 re-association can flip
+    # knife-edge hit decisions, and a path whose remat disagrees with
+    # its primal contributes garbage cotangents (measured: reverse-mode
+    # d/d(glass color) off by 12% vs forward-mode/torch on TPU until
+    # the traces were pinned).  Saving them also spares the backward
+    # pass every intersection kernel.
+    one_sample = jax.checkpoint(
+        one_sample,
+        static_argnums=(),
+        policy=jax.checkpoint_policies.save_only_these_names("trace_out"),
+    )
 
     if uniforms is not None:
         if nee:

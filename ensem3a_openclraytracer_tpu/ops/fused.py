@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ensem3a_openclraytracer_tpu.ops.geometry import MAX_DIST, MIN_HIT_DIST
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import (
+    refined_recip,
     _MAXKEY,
     TRI_TILE,
     TriFeatures,
@@ -267,10 +268,11 @@ def _make_kernel(max_bounce: int, sun_enabled: bool, tp: int, num_tiles: int,
                     )  # [2*TT, R]
                     num = nd_out[:tri_tile]
                     den = nd_out[tri_tile:]
-                t = num / jnp.where(den == 0.0, 1.0, den)
-                # scale-aware self-hit epsilon (block_bounds col 6)
+                t = num * refined_recip(den)
+                # scale-aware self-hit epsilon (block_bounds col 6);
+                # den == 0 rides the reciprocal's inf/nan semantics
                 eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
-                valid = inside & (den != 0.0) & (t > eps)
+                valid = inside & (t > eps)
                 t = jnp.where(valid, t, MAX_DIST)
                 key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
                 kmin = jnp.min(key, axis=0, keepdims=True)  # [1, R]

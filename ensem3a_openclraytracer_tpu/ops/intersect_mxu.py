@@ -297,6 +297,17 @@ def _split_hi_lo(x: jnp.ndarray):
     return hi, x - hi
 
 
+def refined_recip(den):
+    """1/den via the VPU's approximate reciprocal + one Newton step
+    (~2^-16 relative - beyond the packed key's 15 retained mantissa
+    bits); measurably cheaper than the lowered f32 divide in the
+    per-block epilogues, the Pallas engines' hot loop.  den == 0 gives
+    inf/nan, which the callers' (t > eps) guard rejects (and +inf keys
+    above the no-hit sentinel).  Pallas-kernel use only."""
+    r0 = pl.reciprocal(den, approx=True)
+    return r0 * (2.0 - den * r0)
+
+
 def block_centroid(blocks_ref, j):
     """The per-block local-frame origin: 0.5f * (lo + hi) of the block's
     slab AABB - must match build_tri_features' recentering exactly."""
@@ -500,12 +511,13 @@ def _mxu_kernel(*refs):
         nd_out = dot_bf16(pnd_ref[:, slnd].T, build_nd_rhs(q4c, d))  # [2TT, R]
         num = nd_out[:tri_tile]
         den = nd_out[tri_tile:]
-        t = num / jnp.where(den == 0.0, 1.0, den)
+        t = num * refined_recip(den)
         # scale-aware self-hit epsilon (block_bounds col 6; see
         # build_tri_features) - the split-bf16 t band grows with scene
-        # scale, so a fixed cutoff would leak self-hits on big scenes
+        # scale, so a fixed cutoff would leak self-hits on big scenes.
+        # den == 0 rides the reciprocal's inf/nan semantics.
         eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
-        valid = inside & (den != 0.0) & (t > eps)
+        valid = inside & (t > eps)
         t = jnp.where(valid, t, MAX_DIST)
         key = (pltpu.bitcast(t, jnp.int32) & jnp.int32(~0xFF)) | row_idx
         kmin = jnp.min(key, axis=0, keepdims=True)  # [1, R]

@@ -70,22 +70,13 @@ from ensem3a_openclraytracer_tpu.ops.geometry import MAX_DIST, MIN_HIT_DIST
 from ensem3a_openclraytracer_tpu.ops.intersect import Hit
 from ensem3a_openclraytracer_tpu.ops.intersect_mxu import (
     _MAXKEY,
+    refined_recip,
     COMB_BF16_MAX_BLOCKS,
     TriFeatures,
     block_centroid,
     build_edge_rhs,
     build_nd_rhs,
 )
-
-def _refined_recip(den):
-    """1/den via the VPU's approximate reciprocal + one Newton step
-    (~2^-16 relative - beyond the packed key's 15 retained mantissa
-    bits) - measurably cheaper than the lowered f32 divide in the
-    epilogue, which is this kernel's hot loop.  den == 0 yields inf
-    with the right sign semantics for the callers' (t > eps) guard."""
-    r0 = pl.reciprocal(den, approx=True)
-    return r0 * (2.0 - den * r0)
-
 
 # rays per tile: the culling granularity AND the kernel step width.
 # Smaller tiles cull tighter (union ~20.5 blocks at 256 vs ~25 at 512
@@ -143,7 +134,7 @@ def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
         wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
         wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
         inside = (wmin >= 0) | (wmax <= 0)
-        t = num * _refined_recip(den)
+        t = num * refined_recip(den)
         # scale-aware self-hit epsilon (block_bounds col 6).  den == 0
         # needs no separate test: the reciprocal sends t to +-inf/nan,
         # and (t > eps) rejects -inf/nan while +inf keys above MAXKEY.
@@ -374,7 +365,7 @@ def _tile_stream_kernel(start_r, pair_blk_r, pair_ent_r, comb_hbm,
                 wmin = jnp.minimum(jnp.minimum(w1, w2), w3)
                 wmax = jnp.maximum(jnp.maximum(w1, w2), w3)
                 inside = (wmin >= 0) | (wmax <= 0)
-                t = num * _refined_recip(den)
+                t = num * refined_recip(den)
                 eps = jnp.maximum(blocks_ref[j, 6], MIN_HIT_DIST)
                 valid = inside & (t > eps)
                 t = jnp.where(valid, t, MAX_DIST)
