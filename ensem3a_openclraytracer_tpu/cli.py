@@ -198,17 +198,27 @@ def cmd_render(args) -> int:
         from ensem3a_openclraytracer_tpu.scene.scene import Scene
 
         ini = sc.config.config_path
-        last = os.path.getmtime(ini) if os.path.exists(ini) else 0.0
+
+        def _ini_state():
+            # content hash, not mtime: filesystems with 1 s mtime
+            # granularity would miss rapid edits
+            try:
+                with open(ini, "rb") as f:
+                    return f.read()
+            except OSError:
+                return b""
+
+        last = _ini_state()
         todo = args.watch
         done = 0
         print(f"watching {ini} (ctrl-C to stop)", flush=True)
         try:
             while todo == 0 or done < todo:
                 time.sleep(args.watch_poll)
-                mtime = os.path.getmtime(ini) if os.path.exists(ini) else 0.0
-                if mtime == last:
+                cur = _ini_state()
+                if cur == last:
                     continue
-                last = mtime
+                last = cur
                 with timer.stage("scene_reload"):
                     sc = Scene.load(
                         args.scene, rebuild_accel=False, geometry=sc.geometry
