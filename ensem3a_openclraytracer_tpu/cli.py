@@ -550,12 +550,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import jax
+
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         # the environment's TPU plugin force-overrides jax_platforms at
         # registration; a user asking for CPU must actually get CPU
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: a cold 512^2 render program costs
+    # minutes of XLA compile over a tunneled backend, milliseconds
+    # cached - the same setup bench.py uses
+    cache_dir = os.environ.get(
+        "ENSEM3A_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
