@@ -26,6 +26,14 @@ grid:
 
 Tile-level culling does ~2-2.6x the MXU work of ideal per-ray culling
 (tile-union ~20-25 blocks vs per-ray ~9.5 at these tile sizes), but
+this is the measured optimum of the design space: RAY_TILE in {256,
+512, 1024} and TRI_TILE in {64, 128, 256} were swept on Monkey bounce
+rays in round 5 (6.76 ms/call at 512/256 vs 7.47 at 256/256, 7.62 at
+512/128, 9.40 at 512/64) - finer granularity culls tighter but loses
+more to per-pair fixed costs.  Closing the remaining 3-4x to per-ray
+ideal requires a per-RAY work queue, which costs an O(N*K) regroup
+(sort or scatter) per call that XLA executes slower than the waste it
+removes; an in-kernel DMA-regrouping engine is the open design.
 every per-pair overhead beyond the matmul is gone: no in-kernel
 slab/cond, no cross-lane early-exit reductions, no queue sorts or
 scatters, no ray gathers.  Callers should order rays coherently
