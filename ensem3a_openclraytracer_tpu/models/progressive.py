@@ -119,6 +119,33 @@ class ProgressiveRenderer:
             static_argnames=(),
         )
 
+    # transient-failure policy: a chunk that raises a runtime error is
+    # retried this many times before the error propagates.  The chunk
+    # key is a pure function of (base_seed, chunk index), so a retry
+    # reproduces the identical samples - no statistical skew.  This is
+    # the failure-detection/elastic-recovery hook the reference lacks
+    # entirely (SURVEY.md section 5): over a tunneled TPU backend a
+    # long render dies to one dropped RPC without it, and together with
+    # the .npz checkpoints a killed process resumes mid-render.
+    max_chunk_retries = 2
+
+    def _chunk_with_retry(self, key):
+        last_err = None
+        for attempt in range(self.max_chunk_retries + 1):
+            try:
+                return self._chunk_fn(
+                    self.geom, self.materials, self.env, self.camera, key
+                )
+            except (RuntimeError, jax.errors.JaxRuntimeError) as e:  # noqa: PERF203
+                last_err = e
+                if attempt < self.max_chunk_retries:
+                    print(
+                        f"chunk failed ({type(e).__name__}), retrying "
+                        f"({attempt + 1}/{self.max_chunk_retries})",
+                        flush=True,
+                    )
+        raise last_err
+
     def step(self) -> np.ndarray:
         """Render one chunk, fold it into the accumulator, return the
         current image estimate."""
@@ -157,9 +184,7 @@ class ProgressiveRenderer:
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.state.base_seed), chunk_idx
             )
-            chunk = self._chunk_fn(
-                self.geom, self.materials, self.env, self.camera, key
-            )
+            chunk = self._chunk_with_retry(key)
             scaled = chunk * float(self.chunk_spp)
             dev_acc = scaled if dev_acc is None else dev_acc + scaled
             self.state.spp_done += self.chunk_spp

@@ -141,3 +141,48 @@ def test_render_watch_rerenders_on_ini_change(scene_path, tmp_path, monkeypatch)
     assert os.path.exists(os.path.join(tmp_path, "w", "src.png"))
     cfg = (tmp_path / "config.ini").read_text()
     assert "scenePath=" in cfg and "scene.obj" in cfg
+
+
+def test_progressive_retries_transient_chunk_failure():
+    """Fault injection (SURVEY.md section 5 failure-detection gap): a
+    chunk that dies to a transient runtime error is retried with the
+    SAME key (identical samples, no statistical skew) and the render
+    completes; a permanently failing chunk still raises."""
+    geom = cornell_geometry()
+    m, e, c = cornell_materials(), cornell_env(), cornell_camera()
+    r = ProgressiveRenderer(
+        geom, m, e, c, height=16, width=16, max_bounce=1, chunk_spp=2,
+        sun_enabled=False,
+    )
+    real_fn = r._chunk_fn
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second chunk fails once
+            raise RuntimeError("injected transient failure")
+        return real_fn(*a, **kw)
+
+    r._chunk_fn = flaky
+    img = r.render(6)
+    assert calls["n"] == 4  # 3 chunks + 1 retry
+    assert np.isfinite(img).all() and r.state.spp_done == 6
+
+    # deterministic equivalence: same seed without faults
+    r2 = ProgressiveRenderer(
+        geom, m, e, c, height=16, width=16, max_bounce=1, chunk_spp=2,
+        sun_enabled=False,
+    )
+    np.testing.assert_allclose(img, r2.render(6), rtol=1e-6)
+
+    r3 = ProgressiveRenderer(
+        geom, m, e, c, height=16, width=16, max_bounce=1, chunk_spp=2,
+        sun_enabled=False,
+    )
+
+    def always_fail(*a, **kw):
+        raise RuntimeError("permanent failure")
+
+    r3._chunk_fn = always_fail
+    with pytest.raises(RuntimeError):
+        r3.render(2)
