@@ -268,9 +268,20 @@ def run_optimization(
         )
     loss = None
     for i in range(start, iters):
-        params, opt_state, loss = step(
-            params, opt_state, target, jax.random.fold_in(key, i)
-        )
+        # transient-failure retry (same policy as the progressive
+        # renderer): the iteration key is pure in (key, i), so a retry
+        # reproduces the identical update - no trajectory skew
+        for attempt in range(3):
+            try:
+                params_i, opt_state_i, loss = step(
+                    params, opt_state, target, jax.random.fold_in(key, i)
+                )
+                break
+            except (RuntimeError, jax.errors.JaxRuntimeError):
+                if attempt == 2:
+                    raise
+                print(f"optimization step {i} failed, retrying", flush=True)
+        params, opt_state = params_i, opt_state_i
         if log is not None:
             log(i, float(loss))
         if checkpoint_path and (
