@@ -97,7 +97,7 @@ MAX_RAYS_PER_CALL = 262144
 
 
 def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
-                      o_ref, d_ref, key_ref, blk_ref, *, tri_tile):
+                      o_ref, d_ref, init_ref, key_ref, blk_ref, *, tri_tile):
     """One RAY TILE per grid step: while-loop over the tile's scheduled
     blocks (``pair_blk[start[g]:start[g+1]]``, FRONT-TO-BACK by slab
     entry distance), accumulating the packed closest-hit key in
@@ -163,7 +163,7 @@ def _tile_loop_kernel(start_r, pair_blk_r, pair_ent_r, comb_ref, blocks_ref,
         nxt = pair_ent_r[jnp.minimum(k, pair_ent_r.shape[0] - 1)]
         return (k < k1) & (jnp.max(best_t) >= nxt)
 
-    key0 = jnp.full((1, r), _MAXKEY, jnp.int32)
+    key0 = init_ref[:]  # scene-exit bound per lane (see _build_schedule)
     blk0 = jnp.zeros((1, r), jnp.int32)
     _, key, blk = lax.while_loop(cond, body, (k0, key0, blk0))
     key_ref[:] = key
@@ -223,7 +223,34 @@ def _build_schedule(block_bounds, ray_o, ray_d, npd, nb):
         .at[slot.reshape(-1)]
         .set(ent_sorted.reshape(-1), mode="drop", unique_indices=True)
     )
-    return start, pair_blk, pair_ent
+
+    # per-ray best-hit INIT: nothing can be hit beyond the ray's exit
+    # from the scene's union box, so sky-bound lanes start with a small
+    # best-t instead of MAX_DIST - without this, one escaping lane
+    # pins its whole tile's max(best_t) at MAX_DIST and front-to-back
+    # early exit never fires on open scenes.  The margin (0.2% + 2x the
+    # per-block epsilon, i.e. 8x the split-bf16 t band) guarantees any
+    # REAL hit's packed key compares strictly below the init.
+    scene_lo = jnp.min(block_bounds[:, :3], axis=0)  # padding rows are
+    scene_hi = jnp.max(block_bounds[:, 3:6], axis=0)  # +inf/-inf: inert
+    tmin_s = jnp.full((npd,), -3e38, jnp.float32)
+    tmax_s = jnp.full((npd,), 3e38, jnp.float32)
+    for k in range(3):
+        t1 = (scene_lo[k] - ray_o[:, k]) * inv[:, k]
+        t2 = (scene_hi[k] - ray_o[:, k]) * inv[:, k]
+        tmin_s = jnp.maximum(tmin_s, jnp.minimum(t1, t2))
+        tmax_s = jnp.minimum(tmax_s, jnp.maximum(t1, t2))
+    t_exit = jnp.where(
+        (tmax_s >= tmin_s) & (tmax_s >= 0.0), tmax_s, 0.0
+    )
+    eps = block_bounds[0, 6]
+    bound = jnp.minimum(
+        jnp.maximum(t_exit, 0.0) * 1.002 + 2.0 * eps, MAX_DIST
+    )
+    init_key = (
+        lax.bitcast_convert_type(bound, jnp.int32) & jnp.int32(~0xFF)
+    ) | jnp.int32(0xFF)
+    return start, pair_blk, pair_ent, init_key
 
 
 def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
@@ -240,9 +267,10 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
         ray_d = jnp.pad(ray_d, ((0, n_pad), (0, 0)))
     npd = n + n_pad
     g = npd // RT
-    start, pair_blk, pair_ent = _build_schedule(
+    start, pair_blk, pair_ent, init_key = _build_schedule(
         block_bounds, ray_o, ray_d, npd, nb
     )
+    init2 = init_key[None, :]  # [1, Npd]
 
     # rays in [rows, lanes] operand layout, tiles = contiguous slices
     o4 = jnp.concatenate(
@@ -250,8 +278,8 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
     ).T  # [4, Npd]
     d3 = ray_d.T  # [3, Npd]
 
-    start, pair_blk, pair_ent, o4, d3 = lax.optimization_barrier(
-        (start, pair_blk, pair_ent, o4, d3)
+    start, pair_blk, pair_ent, o4, d3, init2 = lax.optimization_barrier(
+        (start, pair_blk, pair_ent, o4, d3, init2)
     )
 
     kernel = functools.partial(_tile_loop_kernel, tri_tile=tri_tile)
@@ -266,6 +294,8 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
             pl.BlockSpec((4, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RT), lambda s, *_: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -283,13 +313,13 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
             jax.ShapeDtypeStruct((1, npd), jnp.int32),
         ),
         interpret=interpret,
-    )(start, pair_blk, pair_ent, comb, block_bounds, o4, d3)
+    )(start, pair_blk, pair_ent, comb, block_bounds, o4, d3, init2)
 
     key = keys[0][:n]
     blk = blks[0][:n]
     t = lax.bitcast_convert_type(key & jnp.int32(~0xFF), jnp.float32)
     tri = blk * tri_tile + (key & jnp.int32(0xFF))
-    hitm = t < MAX_DIST * 0.999
+    hitm = key < init2[0][:n]  # strictly better than the exit bound
     return Hit(
         t=jnp.where(hitm, t, MAX_DIST),
         tri=jnp.where(hitm, tri, 0),
@@ -298,8 +328,8 @@ def _trace_tilepairs_chunk(feats, comb, ray_o, ray_d, interpret):
 
 
 def _tile_stream_kernel(start_r, pair_blk_r, pair_ent_r, comb_hbm,
-                        blocks_ref, o_ref, d_ref, key_ref, blk_ref,
-                        *, tri_tile):
+                        blocks_ref, o_ref, d_ref, init_ref, key_ref,
+                        blk_ref, *, tri_tile):
     """HBM-streamed twin of :func:`_tile_loop_kernel`: one RAY TILE per
     grid step, fori-loop over the tile's entry-sorted blocks with the
     block operand double-buffer-DMA'd from HBM (scene size unbounded -
@@ -313,7 +343,7 @@ def _tile_stream_kernel(start_r, pair_blk_r, pair_ent_r, comb_hbm,
     d = d_ref[:]
     r = o.shape[-1]
     row_idx = lax.broadcasted_iota(jnp.int32, (tri_tile, r), 0)
-    key_ref[:] = jnp.full((1, r), _MAXKEY, jnp.int32)
+    key_ref[:] = init_ref[:]  # scene-exit bound (see _build_schedule)
     blk_ref[:] = jnp.zeros((1, r), jnp.int32)
     s_cap = pair_ent_r.shape[0] - 1
 
@@ -407,17 +437,18 @@ def _trace_stream_chunk(feats, comb, ray_o, ray_d, interpret):
         ray_d = jnp.pad(ray_d, ((0, n_pad), (0, 0)))
     npd = n + n_pad
     g = npd // RT
-    start, pair_blk, pair_ent = _build_schedule(
+    start, pair_blk, pair_ent, init_key = _build_schedule(
         block_bounds, ray_o, ray_d, npd, nb
     )
+    init2 = init_key[None, :]  # [1, Npd]
 
     o4 = jnp.concatenate(
         [ray_o, jnp.ones((npd, 1), jnp.float32)], axis=-1
     ).T  # [4, Npd]
     d3 = ray_d.T  # [3, Npd]
 
-    start, pair_blk, pair_ent, o4, d3 = lax.optimization_barrier(
-        (start, pair_blk, pair_ent, o4, d3)
+    start, pair_blk, pair_ent, o4, d3, init2 = lax.optimization_barrier(
+        (start, pair_blk, pair_ent, o4, d3, init2)
     )
 
     kernel = functools.partial(_tile_stream_kernel, tri_tile=tri_tile)
@@ -431,6 +462,8 @@ def _trace_stream_chunk(feats, comb, ray_o, ray_d, interpret):
             pl.BlockSpec((4, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RT), lambda s, *_: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT), lambda s, *_: (0, s),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -448,13 +481,13 @@ def _trace_stream_chunk(feats, comb, ray_o, ray_d, interpret):
             jax.ShapeDtypeStruct((1, npd), jnp.int32),
         ),
         interpret=interpret,
-    )(start, pair_blk, pair_ent, comb, block_bounds, o4, d3)
+    )(start, pair_blk, pair_ent, comb, block_bounds, o4, d3, init2)
 
     key = keys[0][:n]
     blk = blks[0][:n]
     t = lax.bitcast_convert_type(key & jnp.int32(~0xFF), jnp.float32)
     tri = blk * tri_tile + (key & jnp.int32(0xFF))
-    hitm = t < MAX_DIST * 0.999
+    hitm = key < init2[0][:n]  # strictly better than the exit bound
     return Hit(
         t=jnp.where(hitm, t, MAX_DIST),
         tri=jnp.where(hitm, tri, 0),
