@@ -17,8 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import BASELINES  # noqa: E402  (the single source of pins)
 
 # verdict round-5 floors (absolute, Mrays/s) - the per-scene regression
 # gate proper; vs_baseline additionally catches drift on everything else
@@ -79,9 +83,12 @@ def main() -> int:
         elif metric in FLOORS and value < FLOORS[metric]:
             failures.append(f"{metric}: {value} < floor {FLOORS[metric]}")
         elif metric.endswith("_mrays_per_s"):
-            vs = rec.get("vs_baseline", 1.0)
+            # recompute against the CURRENT pins (a recorded JSON's
+            # vs_baseline field reflects the pins at record time)
+            base = BASELINES.get(metric)
+            vs = value / base if base else rec.get("vs_baseline", 1.0)
             if vs < args.allow:
-                failures.append(f"{metric}: vs_baseline {vs} < {args.allow}")
+                failures.append(f"{metric}: vs_baseline {vs:.3f} < {args.allow}")
     for metric in FLOORS:
         if metric not in seen:
             failures.append(f"{metric}: missing from bench output")
